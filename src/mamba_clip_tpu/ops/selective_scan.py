@@ -1,0 +1,570 @@
+"""Selective-scan (Mamba S6 recurrence) for TPU.
+
+TPU-native replacement for the reference's external CUDA kernel
+``mamba_ssm.ops.selective_scan_interface.selective_scan_fn``
+(reference: src/mamba_clip/model.py:26-31 import, :504,539-550 call sites).
+Semantics (documented by ``flops_selective_scan_ref``, model.py:54-66):
+
+    dt      = softplus(delta + delta_bias)          [if delta_softplus]
+    h_t     = exp(dt_t * A) * h_{t-1} + dt_t * B_t * u_t
+    y_t     = sum_n C_t[n] * h_t[n]  (+ D * u_t)
+
+per channel d with state size N, over sequence length L. The CUDA kernel is
+a sequential fp32 recurrence; on TPU the first-order linear recurrence is
+associative — ``(a1,b1)∘(a2,b2) = (a1*a2, a2*b1 + b2)`` — so we run a
+**chunked Kogge-Stone doubling scan** inside a Pallas kernel:
+
+- grid = (batch*groups, channel-tiles, seq-chunks), sequence innermost;
+  the fp32 hidden state (N, DT) lives in VMEM scratch across chunks;
+- within a chunk of T steps everything is vectorized on (T, N, DT) arrays:
+  log2(T) doubling passes replace T serial steps (VPU-bound, not
+  latency-bound);
+- channels ride the 128-wide lane dimension, the N=16 state rides sublanes;
+- inputs may be bf16; the carry and output are fp32, matching the CUDA
+  kernel's fp32 contract (reference asserts fp32 output, model.py:551,639);
+- backward is a custom VJP: a second Pallas kernel walks chunks in reverse,
+  recomputing the forward within each chunk from per-chunk state
+  checkpoints saved by the forward (O(L/T) extra memory instead of O(L)).
+
+Layouts are **time-major** ``(batch*groups, L, channels)`` so the hot loop
+slices rows, not strided columns. ``selective_scan`` accepts the CUDA
+kernel's channel-major layout and transposes; SS2D calls the time-major
+entry point directly and never pays for transposes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "selective_scan",
+    "selective_scan_tm",
+    "selective_scan_flops",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Doubling (Kogge-Stone) scans on (T, N, DT) VMEM arrays.
+# Shifts along the leading axis are tile-granular on TPU (each t is a full
+# (N, DT) tile set), so concatenate/slice is cheap.
+# ---------------------------------------------------------------------------
+
+
+def _doubling_prefix(alpha, beta, T: int):
+    """Inclusive prefix scan of pairs under (a1,b1)∘(a2,b2)=(a1a2, a2b1+b2)."""
+    s = 1
+    while s < T:
+        sa = jnp.concatenate([jnp.ones_like(alpha[:s]), alpha[:-s]], axis=0)
+        sb = jnp.concatenate([jnp.zeros_like(beta[:s]), beta[:-s]], axis=0)
+        beta = beta + alpha * sb
+        alpha = alpha * sa
+        s *= 2
+    return alpha, beta
+
+
+def _doubling_suffix(alpha, beta, T: int):
+    """Inclusive suffix scan: beta_t = sum_{r>=t} (prod_{t<=q<r} a_q) b_r."""
+    s = 1
+    while s < T:
+        sa = jnp.concatenate([alpha[s:], jnp.ones_like(alpha[:s])], axis=0)
+        sb = jnp.concatenate([beta[s:], jnp.zeros_like(beta[:s])], axis=0)
+        beta = beta + alpha * sb
+        alpha = alpha * sa
+        s *= 2
+    return alpha, beta
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    delta_ref, u_ref, B_ref, C_ref, A_ref, D_ref, bias_ref,
+    y_ref, hck_ref,
+    h_carry,
+    *, T: int, softplus: bool, l_valid: int,
+):
+    lc = pl.program_id(2)
+
+    @pl.when(lc == 0)
+    def _():
+        h_carry[...] = jnp.zeros_like(h_carry)
+
+    h_in = h_carry[...]  # (N, DT) fp32
+    hck_ref[0, 0] = h_in
+
+    delta = delta_ref[0].astype(jnp.float32)  # (T, DT)
+    u = u_ref[0].astype(jnp.float32)          # (T, DT)
+    Bm = B_ref[0].astype(jnp.float32)         # (T, N)
+    Cm = C_ref[0].astype(jnp.float32)         # (T, N)
+    Arow = A_ref[0]                           # (N, DT) fp32
+    bias = bias_ref[0]                        # (1, DT) fp32
+
+    dt = delta + bias
+    if softplus:
+        dt = jax.nn.softplus(dt)
+    # Zero dt at padded positions: a=exp(0)=1, b=0 -> identity element.
+    t_ids = lc * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    dt = jnp.where(t_ids < l_valid, dt, 0.0)
+
+    du = dt * u                                        # (T, DT)
+    a = jnp.exp(dt[:, None, :] * Arow[None])           # (T, N, DT)
+    b = Bm[:, :, None] * du[:, None, :]                # (T, N, DT)
+
+    alpha, beta = _doubling_prefix(a, b, T)
+    h = beta + alpha * h_in[None]                      # (T, N, DT)
+
+    y = jnp.sum(h * Cm[:, :, None], axis=1)            # (T, DT)
+    y_ref[0] = y + u * D_ref[0]
+    h_carry[...] = h[T - 1]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (chunks walked in reverse; forward recomputed per chunk
+# from the saved chunk-entry state h_in).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    delta_ref, u_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, dy_ref, hck_ref,
+    ddelta_ref, du_ref, dB_ref, dC_ref, dA_ref, dD_ref, dbias_ref,
+    g_carry,
+    *, T: int, softplus: bool, l_valid: int, nchunks: int,
+):
+    lc_rev = pl.program_id(2)           # 0..NC-1, maps to chunk NC-1-lc_rev
+    lc = nchunks - 1 - lc_rev
+
+    @pl.when(lc_rev == 0)
+    def _():
+        g_carry[...] = jnp.zeros_like(g_carry)
+        dA_ref[0] = jnp.zeros_like(dA_ref[0])
+        dD_ref[0] = jnp.zeros_like(dD_ref[0])
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    delta = delta_ref[0].astype(jnp.float32)
+    u = u_ref[0].astype(jnp.float32)
+    Bm = B_ref[0].astype(jnp.float32)
+    Cm = C_ref[0].astype(jnp.float32)
+    Arow = A_ref[0]
+    bias = bias_ref[0]
+    dy = dy_ref[0].astype(jnp.float32)       # (T, DT)
+    h_in = hck_ref[0, 0]                     # (N, DT)
+
+    raw = delta + bias
+    dt = jax.nn.softplus(raw) if softplus else raw
+    t_ids = lc * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    mask = t_ids < l_valid
+    dt = jnp.where(mask, dt, 0.0)
+
+    du_ = dt * u
+    a = jnp.exp(dt[:, None, :] * Arow[None])
+    b = Bm[:, :, None] * du_[:, None, :]
+    alpha, beta = _doubling_prefix(a, b, T)
+    h = beta + alpha * h_in[None]
+    h_prev = jnp.concatenate([h_in[None], h[: T - 1]], axis=0)
+
+    # Reverse recurrence: g_t = C_t dy_t + a_{t+1} g_{t+1}.
+    c = Cm[:, :, None] * dy[:, None, :]                   # (T, N, DT)
+    a_next = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
+    alpha_s, beta_s = _doubling_suffix(a_next, c, T)
+    g = beta_s + alpha_s * g_carry[...][None]             # (T, N, DT)
+    g_carry[...] = a[0] * g[0]
+
+    dC = jnp.sum(dy[:, None, :] * h, axis=2)              # (T, N)
+    dB = jnp.sum(g * du_[:, None, :], axis=2)             # (T, N)
+    ddu = jnp.sum(g * Bm[:, :, None], axis=1)             # (T, DT)
+    da = g * h_prev                                       # (T, N, DT)
+    ddt = jnp.sum(da * a * Arow[None], axis=1) + ddu * u  # (T, DT)
+    if softplus:
+        ddt = ddt * jax.nn.sigmoid(raw)
+    ddt = jnp.where(mask, ddt, 0.0)
+
+    ddelta_ref[0] = ddt
+    du_ref[0] = ddu * dt + dy * D_ref[0]
+    dB_ref[0, 0] = dB
+    dC_ref[0, 0] = dC
+    dA_ref[0] += jnp.sum(da * a * dt[:, None, :], axis=0)
+    dD_ref[0] += jnp.sum(dy * u, axis=0, keepdims=True)
+    dbias_ref[0] += jnp.sum(ddt, axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Pallas call wrappers over canonical padded time-major arrays:
+#   delta,u : (BG, LP, DP)   B,C : (BG, LP, NP)
+#   A_t     : (G, NP, DP)    D,bias : (G, 1, DP)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64
+_LANE = 128
+
+
+def _specs(BG, LP, DP, NP, G, T, DT):
+    nd = DP // DT
+    row = lambda bg, dtile, lc: (bg, lc, dtile)
+    grp = lambda bg, dtile, lc: (bg % G, 0, dtile)
+    bc = lambda bg, dtile, lc: (bg, lc, 0)
+    in_specs = [
+        pl.BlockSpec((1, T, DT), row, memory_space=pltpu.VMEM),  # delta
+        pl.BlockSpec((1, T, DT), row, memory_space=pltpu.VMEM),  # u
+        pl.BlockSpec((1, T, NP), bc, memory_space=pltpu.VMEM),   # B
+        pl.BlockSpec((1, T, NP), bc, memory_space=pltpu.VMEM),   # C
+        pl.BlockSpec((1, NP, DT), grp, memory_space=pltpu.VMEM),  # A_t
+        pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),   # D
+        pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),   # bias
+    ]
+    return in_specs, nd
+
+
+def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid, interpret):
+    BG, LP, DP = u.shape
+    NP = Bmat.shape[-1]
+    G = A_t.shape[0]
+    T = min(_CHUNK, LP)
+    DT = min(_LANE, DP)
+    NC = LP // T
+    in_specs, nd = _specs(BG, LP, DP, NP, G, T, DT)
+    grid = (BG, nd, NC)
+    kernel = functools.partial(_fwd_kernel, T=T, softplus=softplus, l_valid=l_valid)
+    flops_per = T * NP * DT * 14
+    y, hck = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, T, DT), lambda bg, d, lc: (bg, lc, d), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NP, DT), lambda bg, d, lc: (bg, lc, 0, d), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BG, LP, DP), jnp.float32),
+            jax.ShapeDtypeStruct((BG, NC, NP, DP), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((NP, DT), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * BG * nd * NC,
+            bytes_accessed=(delta.size + u.size) * delta.dtype.itemsize * 2,
+            transcendentals=BG * nd * NC * T * NP * DT,
+        ),
+        interpret=interpret,
+    )(delta, u, Bmat, Cmat, A_t, Dvec, bias)
+    return y, hck
+
+
+def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus, l_valid, interpret):
+    BG, LP, DP = u.shape
+    NP = Bmat.shape[-1]
+    G = A_t.shape[0]
+    T = min(_CHUNK, LP)
+    DT = min(_LANE, DP)
+    NC = LP // T
+    in_specs, nd = _specs(BG, LP, DP, NP, G, T, DT)
+    # reversed chunk visit order for the seq-major inputs
+    rrow = lambda bg, d, lc: (bg, NC - 1 - lc, d)
+    rbc = lambda bg, d, lc: (bg, NC - 1 - lc, 0)
+    grp = lambda bg, d, lc: (bg % G, 0, d)
+    in_specs = [
+        pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # delta
+        pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # u
+        pl.BlockSpec((1, T, NP), rbc, memory_space=pltpu.VMEM),    # B
+        pl.BlockSpec((1, T, NP), rbc, memory_space=pltpu.VMEM),    # C
+        pl.BlockSpec((1, NP, DT), grp, memory_space=pltpu.VMEM),   # A_t
+        pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),    # D
+        pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),    # bias
+        pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # dy
+        pl.BlockSpec((1, 1, NP, DT), lambda bg, d, lc: (bg, NC - 1 - lc, 0, d),
+                     memory_space=pltpu.VMEM),                      # hck
+    ]
+    kernel = functools.partial(
+        _bwd_kernel, T=T, softplus=softplus, l_valid=l_valid, nchunks=NC
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(BG, nd, NC),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # ddelta
+            pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # du
+            pl.BlockSpec((1, 1, T, NP), lambda bg, d, lc: (d, bg, NC - 1 - lc, 0),
+                         memory_space=pltpu.VMEM),                      # dB (per dtile)
+            pl.BlockSpec((1, 1, T, NP), lambda bg, d, lc: (d, bg, NC - 1 - lc, 0),
+                         memory_space=pltpu.VMEM),                      # dC
+            pl.BlockSpec((1, NP, DT), lambda bg, d, lc: (bg, 0, d),
+                         memory_space=pltpu.VMEM),                      # dA (acc over lc)
+            pl.BlockSpec((1, 1, DT), lambda bg, d, lc: (bg, 0, d),
+                         memory_space=pltpu.VMEM),                      # dD
+            pl.BlockSpec((1, 1, DT), lambda bg, d, lc: (bg, 0, d),
+                         memory_space=pltpu.VMEM),                      # dbias
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BG, LP, DP), jnp.float32),
+            jax.ShapeDtypeStruct((BG, LP, DP), jnp.float32),
+            jax.ShapeDtypeStruct((nd, BG, LP, NP), jnp.float32),
+            jax.ShapeDtypeStruct((nd, BG, LP, NP), jnp.float32),
+            jax.ShapeDtypeStruct((BG, NP, DP), jnp.float32),
+            jax.ShapeDtypeStruct((BG, 1, DP), jnp.float32),
+            jax.ShapeDtypeStruct((BG, 1, DP), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((NP, DT), jnp.float32)],
+        interpret=interpret,
+    )(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck)
+    ddelta, du, dB, dC, dA, dD, dbias = outs
+    return ddelta, du, dB.sum(0), dC.sum(0), dA, dD, dbias
+
+
+# ---------------------------------------------------------------------------
+# Canonical time-major core with custom VJP.
+# Unpadded canonical shapes:
+#   u, delta: (B, G, L, DG); Bmat, Cmat: (B, G, L, N)
+#   A: (G*DG, N) [row-major by (g, dg)]; D, delta_bias: (G*DG,)
+# ---------------------------------------------------------------------------
+
+
+def _pad_tm(x, LP, DP):
+    b, l, d = x.shape
+    if l == LP and d == DP:
+        return x
+    return jnp.pad(x, ((0, 0), (0, LP - l), (0, DP - d)))
+
+
+def _canon(u, delta, A, Bmat, Cmat, D, bias):
+    """Flatten groups and pad to kernel-friendly sizes."""
+    Bsz, G, L, DG = u.shape
+    N = A.shape[1]
+    LP = _round_up(L, min(_CHUNK, _round_up(L, 8)))
+    LP = _round_up(L, _CHUNK) if L > _CHUNK else _round_up(L, 8)
+    DP = _round_up(DG, _LANE) if DG > _LANE else _round_up(DG, _LANE)
+    NP = _round_up(N, 8)
+    BG = Bsz * G
+
+    u_p = _pad_tm(u.reshape(BG, L, DG), LP, DP)
+    d_p = _pad_tm(delta.reshape(BG, L, DG), LP, DP)
+    B_p = _pad_tm(Bmat.reshape(BG, L, N), LP, NP)
+    C_p = _pad_tm(Cmat.reshape(BG, L, N), LP, NP)
+    # A (G*DG, N) -> (G, NP, DP) transposed per group
+    A_g = A.reshape(G, DG, N).astype(jnp.float32)
+    A_t = jnp.pad(A_g, ((0, 0), (0, DP - DG), (0, NP - N))).transpose(0, 2, 1)
+    D_g = jnp.pad(D.reshape(G, DG).astype(jnp.float32), ((0, 0), (0, DP - DG)))[:, None, :]
+    b_g = jnp.pad(bias.reshape(G, DG).astype(jnp.float32), ((0, 0), (0, DP - DG)))[:, None, :]
+    return u_p, d_p, B_p, C_p, A_t, D_g, b_g, (Bsz, G, L, DG, N, LP, DP, NP)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _scan_tm_pallas(u, delta, A, Bmat, Cmat, D, bias, softplus, interpret):
+    y, _ = _scan_tm_pallas_fwd(u, delta, A, Bmat, Cmat, D, bias, softplus, interpret)
+    return y
+
+
+def _scan_tm_pallas_fwd(u, delta, A, Bmat, Cmat, D, bias, softplus, interpret):
+    u_p, d_p, B_p, C_p, A_t, D_g, b_g, dims = _canon(u, delta, A, Bmat, Cmat, D, bias)
+    Bsz, G, L, DG, N, LP, DP, NP = dims
+    y_p, hck = _fwd_pallas(
+        d_p, u_p, B_p, C_p, A_t, D_g, b_g,
+        softplus=softplus, l_valid=L, interpret=interpret,
+    )
+    y = y_p[:, :L, :DG].reshape(Bsz, G, L, DG)
+    return y, (u, delta, A, Bmat, Cmat, D, bias, hck)
+
+
+def _scan_tm_pallas_bwd(softplus, interpret, res, dy):
+    u, delta, A, Bmat, Cmat, D, bias, hck = res
+    u_p, d_p, B_p, C_p, A_t, D_g, b_g, dims = _canon(u, delta, A, Bmat, Cmat, D, bias)
+    Bsz, G, L, DG, N, LP, DP, NP = dims
+    dy_p = _pad_tm(dy.reshape(Bsz * G, L, DG).astype(jnp.float32), LP, DP)
+    dd_p, du_p, dB_p, dC_p, dA_p, dD_p, dbias_p = _bwd_pallas(
+        d_p, u_p, B_p, C_p, A_t, D_g, b_g, dy_p, hck,
+        softplus=softplus, l_valid=L, interpret=interpret,
+    )
+    ddelta = dd_p[:, :L, :DG].reshape(Bsz, G, L, DG).astype(delta.dtype)
+    du = du_p[:, :L, :DG].reshape(Bsz, G, L, DG).astype(u.dtype)
+    dB = dB_p[:, :L, :N].reshape(Bsz, G, L, N).astype(Bmat.dtype)
+    dC = dC_p[:, :L, :N].reshape(Bsz, G, L, N).astype(Cmat.dtype)
+    # dA: (BG, NP, DP) -> sum over batch -> (G, N, DG) -> (G*DG, N)
+    dA = (
+        dA_p.reshape(Bsz, G, NP, DP)
+        .sum(0)[:, :N, :DG]
+        .transpose(0, 2, 1)
+        .reshape(G * DG, N)
+        .astype(A.dtype)
+    )
+    dD = dD_p.reshape(Bsz, G, DP).sum(0)[:, :DG].reshape(G * DG).astype(D.dtype)
+    dbias = dbias_p.reshape(Bsz, G, DP).sum(0)[:, :DG].reshape(G * DG).astype(bias.dtype)
+    return du, ddelta, dA, dB, dC, dD, dbias
+
+
+_scan_tm_pallas.defvjp(_scan_tm_pallas_fwd, _scan_tm_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference implementations (validation + CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def _scan_tm_xla(u, delta, A, Bmat, Cmat, D, bias, softplus):
+    """lax.scan reference; same time-major canonical signature."""
+    Bsz, G, L, DG = u.shape
+    N = A.shape[1]
+    f32 = jnp.float32
+    dt = delta.astype(f32) + bias.reshape(1, G, 1, DG)
+    if softplus:
+        dt = jax.nn.softplus(dt)
+    u32 = u.astype(f32)
+    A_g = A.reshape(G, DG, N).astype(f32)  # (G, DG, N)
+
+    def step(h, xs):
+        dt_t, u_t, B_t, C_t = xs  # (B,G,DG), (B,G,DG), (B,G,N), (B,G,N)
+        a = jnp.exp(dt_t[..., None] * A_g[None])          # (B,G,DG,N)
+        b = (dt_t * u_t)[..., None] * B_t[:, :, None, :]  # (B,G,DG,N)
+        h = a * h + b
+        y_t = jnp.sum(h * C_t[:, :, None, :], axis=-1)    # (B,G,DG)
+        return h, y_t
+
+    xs = (
+        dt.transpose(2, 0, 1, 3),
+        u32.transpose(2, 0, 1, 3),
+        Bmat.astype(f32).transpose(2, 0, 1, 3),
+        Cmat.astype(f32).transpose(2, 0, 1, 3),
+    )
+    h0 = jnp.zeros((Bsz, G, DG, N), f32)
+    _, ys = jax.lax.scan(step, h0, xs)
+    y = ys.transpose(1, 2, 0, 3)  # (B,G,L,DG)
+    return y + u32 * D.reshape(1, G, 1, DG)
+
+
+def _scan_tm_assoc(u, delta, A, Bmat, Cmat, D, bias, softplus):
+    """jax.lax.associative_scan variant (vectorized; memory O(B*D*L*N))."""
+    Bsz, G, L, DG = u.shape
+    N = A.shape[1]
+    f32 = jnp.float32
+    dt = delta.astype(f32) + bias.reshape(1, G, 1, DG)
+    if softplus:
+        dt = jax.nn.softplus(dt)
+    u32 = u.astype(f32)
+    A_g = A.reshape(1, G, 1, DG, N).astype(f32)
+    a = jnp.exp(dt[..., None] * A_g)                        # (B,G,L,DG,N)
+    b = (dt * u32)[..., None] * Bmat.astype(f32)[:, :, :, None, :]
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (a, b), axis=2)
+    y = jnp.sum(h * Cmat.astype(f32)[:, :, :, None, :], axis=-1)
+    return y + u32 * D.reshape(1, G, 1, DG)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _default_impl() -> str:
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        plat = "cpu"
+    return "pallas" if plat in ("tpu", "axon") else "xla"
+
+
+def selective_scan_tm(
+    u: jnp.ndarray,
+    delta: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: Optional[jnp.ndarray] = None,
+    delta_bias: Optional[jnp.ndarray] = None,
+    delta_softplus: bool = False,
+    impl: Optional[str] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Time-major selective scan.
+
+    Args:
+      u, delta: (batch, groups, L, dg) — dg channels per group.
+      A: (groups*dg, N) real decay matrix (typically ``-exp(A_log)``).
+      B, C: (batch, groups, L, N) input/output projections (shared per group).
+      D: (groups*dg,) skip, optional. delta_bias: (groups*dg,), optional.
+    Returns:
+      y: (batch, groups, L, dg) float32.
+    """
+    impl = impl or _default_impl()
+    d_total = A.shape[0]
+    if D is None:
+        D = jnp.zeros((d_total,), jnp.float32)
+    if delta_bias is None:
+        delta_bias = jnp.zeros((d_total,), jnp.float32)
+    if impl == "pallas":
+        return _scan_tm_pallas(
+            u, delta, A, B, C, D, delta_bias, delta_softplus, interpret
+        )
+    if impl == "pallas_interpret":
+        return _scan_tm_pallas(
+            u, delta, A, B, C, D, delta_bias, delta_softplus, True
+        )
+    if impl == "assoc":
+        return _scan_tm_assoc(u, delta, A, B, C, D, delta_bias, delta_softplus)
+    if impl == "xla":
+        return _scan_tm_xla(u, delta, A, B, C, D, delta_bias, delta_softplus)
+    raise ValueError(f"unknown selective-scan impl '{impl}'")
+
+
+def selective_scan(
+    u: jnp.ndarray,
+    delta: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: Optional[jnp.ndarray] = None,
+    delta_bias: Optional[jnp.ndarray] = None,
+    delta_softplus: bool = False,
+    impl: Optional[str] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Channel-major selective scan — drop-in for the CUDA
+    ``selective_scan_fn`` layout (reference: model.py:539-550):
+
+      u, delta: (batch, d, L); A: (d, N); B, C: (batch, N, L) or
+      (batch, groups, N, L); D: (d,); delta_bias: (d,).
+
+    Returns y: (batch, d, L) float32.
+    """
+    bsz, d, L = u.shape
+    if B.ndim == 3:
+        B = B[:, None]
+        C = C[:, None]
+    G = B.shape[1]
+    DG = d // G
+    u_tm = u.reshape(bsz, G, DG, L).transpose(0, 1, 3, 2)
+    delta_tm = delta.reshape(bsz, G, DG, L).transpose(0, 1, 3, 2)
+    B_tm = B.transpose(0, 1, 3, 2)
+    C_tm = C.transpose(0, 1, 3, 2)
+    y_tm = selective_scan_tm(
+        u_tm, delta_tm, A, B_tm, C_tm, D, delta_bias, delta_softplus,
+        impl=impl, interpret=interpret,
+    )
+    return y_tm.transpose(0, 1, 3, 2).reshape(bsz, d, L)
+
+
+def selective_scan_flops(
+    batch: int, d: int, L: int, N: int, with_D: bool = True, with_backward: bool = False
+) -> int:
+    """Analytic FLOPs model (reference: model.py:44-171 documents
+    9*B*L*D*N for the fused scan with group B/C, +2*B*D*L for the D skip)."""
+    f = 9 * batch * L * d * N
+    if with_D:
+        f += 2 * batch * d * L
+    if with_backward:
+        f *= 3
+    return f
