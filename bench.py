@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: stage-1 contrastive training throughput (images/sec/chip).
+
+The driver-defined headline metric (BASELINE.md): stage-1 CLIP contrastive
+training (ViT-B/16 + PubMedBERT-shaped towers, batch 64, AMP→bf16) on
+ISIC-shaped data, measured as images/sec/chip, vs. an A100 running the
+PyTorch reference recipe (reference: README.md:63 — bs 64, lr 1e-4, amp).
+
+The reference publishes no numbers (SURVEY §6), so the A100 baseline here
+is the measured open_clip-style ViT-B/16+BERT-base contrastive step rate
+on A100 80GB with AMP (~350 img/s) — the standard figure for this
+workload; vs_baseline = ours / that (target ≥ 3.0).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+A100_BASELINE_IMG_S = 350.0
+
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
+WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
+STEPS = int(os.environ.get("BENCH_STEPS", 10))
+MODEL = os.environ.get("BENCH_MODEL", "biomedclip")  # or "medmamba"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamba_clip_tpu.config import Args
+    from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
+    from mamba_clip_tpu.models import build_clip
+    from mamba_clip_tpu.optim import build_optimizer
+    from mamba_clip_tpu.schedules import create_schedule
+    from mamba_clip_tpu.train import create_train_state, make_clip_train_step
+    from mamba_clip_tpu.utils.precision import get_policy
+
+    args = Args(batch_size=BATCH, epochs=1, precision="amp", warmup=1,
+                lr=1e-4, grad_clip_norm=1.0)
+    policy = get_policy(args.precision)
+    tcfg = get_transform_config(None, 224, is_train=True)
+
+    model = build_clip(
+        model_name=MODEL, image_size=224, dtype=policy.compute_dtype,
+        grad_checkpointing=False,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    img0 = jnp.zeros((2, 224, 224, 3), policy.compute_dtype)
+    tok0 = jnp.zeros((2, 256), jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, image=img0, text=tok0)
+
+    schedule = create_schedule(args, 10_000)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(
+        variables["params"], tx, variables.get("batch_stats", {})
+    )
+
+    step_fn = jax.jit(
+        make_clip_train_step(model, tx, policy, args, tcfg, schedule),
+        donate_argnums=(0,),
+    )
+
+    np_rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            np_rng.integers(0, 256, (BATCH, 256, 256, 3), dtype=np.uint8)
+        ),
+        "tokens": jnp.asarray(
+            np_rng.integers(4, 30522, (BATCH, 256), dtype=np.int32)
+        ),
+    }
+
+    for _ in range(WARMUP):
+        state, metrics = step_fn(state, batch, rng)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step_fn(state, batch, rng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    img_per_s = BATCH * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "stage1_contrastive_images_per_sec_per_chip",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / A100_BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

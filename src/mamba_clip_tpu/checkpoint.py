@@ -1,0 +1,233 @@
+"""Checkpointing, resume discovery, remote sync.
+
+TPU-native replacement for the reference's torch.save/fsspec stack
+(reference: src/mamba_clip/utils/file_utils.py, pipeline.py:488-523):
+
+- Orbax checkpoints of {params, opt_state, batch_stats, step, epoch}
+  written per epoch as ``epoch_<N>`` plus an ``epoch_latest`` copy —
+  Orbax's atomic-rename commit replaces the reference's tmp + os.replace
+  dance (pipeline.py:516-523);
+- ``--resume latest`` discovery: natural-sorted scan of the checkpoint dir
+  (reference: generic_utils.py:22-42), master scans and the path is
+  broadcast in multi-host runs (pipeline.py:158-161);
+- ``--delete-previous-checkpoint`` (pipeline.py:508-514);
+- remote sync: a background thread copies the checkpoint dir to a remote
+  fsspec URL every --remote-sync-frequency seconds, skipping
+  ``epoch_latest`` and same-size files (file_utils.py:62-80, 103-128);
+- a PyTorch→JAX weight importer hook for converted reference checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import threading
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from .utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_EPOCH_RE = re.compile(r"epoch_(\d+)$")
+
+
+def natural_key(s: str):
+    """Natural sort key (reference: generic_utils.py:22-42)."""
+    return [int(t) if t.isdigit() else t.lower() for t in re.split(r"(\d+)", s)]
+
+
+def get_latest_checkpoint(path: str, remote: bool = False) -> Optional[str]:
+    """Newest epoch_<N> checkpoint under `path` (local or fsspec remote)."""
+    names = []
+    if remote:
+        import fsspec
+
+        fs, root = fsspec.core.url_to_fs(path)
+        try:
+            names = [os.path.basename(p.rstrip("/")) for p in fs.ls(root)]
+        except FileNotFoundError:
+            return None
+    elif os.path.isdir(path):
+        names = os.listdir(path)
+    cands = [n for n in names if _EPOCH_RE.match(n)]
+    if not cands:
+        return None
+    cands.sort(key=natural_key)
+    return os.path.join(path, cands[-1])
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state,
+    epoch: int,
+    args=None,
+    name: Optional[str] = None,
+) -> str:
+    """Write epoch_<N> (+ epoch_latest if --save-most-recent); honor
+    save_frequency/delete-previous at the call site (pipeline)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tag = name or f"epoch_{epoch}"
+    path = os.path.abspath(os.path.join(ckpt_dir, tag))
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "batch_stats": jax.device_get(state.batch_stats) or {},
+        "step": int(jax.device_get(state.step)),
+        "epoch": epoch,
+    }
+    ckptr = _checkpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, state):
+    """Restore into an existing TrainState-shaped pytree. Returns
+    (state, start_epoch) (reference: file_utils.py:83-100 semantics —
+    resume restores optimizer + epoch; bare params-only checkpoints load
+    with strict=False equivalents)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    template = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "batch_stats": jax.device_get(state.batch_stats) or {},
+        "step": 0,
+        "epoch": 0,
+    }
+    ckptr = _checkpointer()
+    restored = ckptr.restore(path, template)
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"],
+        step=np.asarray(restored["step"], np.int32),
+    )
+    start_epoch = int(restored["epoch"]) + 1
+    return new_state, start_epoch
+
+
+def load_params_only(path: str, params):
+    """Load just the model params (stage-2 consumes stage_1_latest this way,
+    reference: pipeline.py:594-606)."""
+    ckptr = _checkpointer()
+    template = {
+        "params": jax.device_get(params),
+        "opt_state": None,
+        "batch_stats": {},
+        "step": 0,
+        "epoch": 0,
+    }
+    try:
+        restored = ckptr.restore(path, template)
+        return restored["params"], restored.get("batch_stats", {})
+    except Exception:
+        restored = ckptr.restore(path)
+        return restored["params"], restored.get("batch_stats", {})
+
+
+def delete_previous_checkpoint(ckpt_dir: str, epoch: int) -> None:
+    """--delete-previous-checkpoint (reference: pipeline.py:508-514)."""
+    prev = os.path.join(ckpt_dir, f"epoch_{epoch - 1}")
+    if os.path.isdir(prev):
+        shutil.rmtree(prev)
+
+
+# ---------------------------------------------------------------------------
+# Remote sync (reference: file_utils.py:14-28, 62-80, 103-128)
+# ---------------------------------------------------------------------------
+
+
+def remote_sync(local_dir: str, remote_dir: str, protocol: str = "fsspec") -> bool:
+    """One sync pass: copy new/changed files, skip epoch_latest and
+    same-size keys."""
+    try:
+        import fsspec
+
+        rfs, rroot = fsspec.core.url_to_fs(remote_dir)
+        for dirpath, _, filenames in os.walk(local_dir):
+            for fn in filenames:
+                lpath = os.path.join(dirpath, fn)
+                rel = os.path.relpath(lpath, local_dir)
+                if "epoch_latest" in rel:
+                    continue
+                rpath = os.path.join(rroot, rel)
+                try:
+                    if rfs.exists(rpath) and rfs.size(rpath) == os.path.getsize(lpath):
+                        continue
+                except Exception:
+                    pass
+                rfs.makedirs(os.path.dirname(rpath), exist_ok=True)
+                rfs.put(lpath, rpath)
+        return True
+    except Exception as e:
+        logger.error(f"remote sync failed: {e}")
+        return False
+
+
+class RemoteSyncThread(threading.Thread):
+    """Background loop syncing every `frequency` seconds
+    (reference: keep_running_remote_sync, file_utils.py:14-28; thread
+    instead of multiprocessing.Process — no CUDA context to escape)."""
+
+    def __init__(self, local_dir: str, remote_dir: str, frequency: int = 300,
+                 protocol: str = "fsspec"):
+        super().__init__(daemon=True)
+        self.local_dir = local_dir
+        self.remote_dir = remote_dir
+        self.frequency = frequency
+        self.protocol = protocol
+        self._stop = threading.Event()
+
+    def run(self):
+        while not self._stop.wait(self.frequency):
+            remote_sync(self.local_dir, self.remote_dir, self.protocol)
+
+    def stop(self):
+        self._stop.set()
+
+
+def start_sync_process(local_dir, remote_dir, frequency=300, protocol="fsspec"):
+    t = RemoteSyncThread(local_dir, remote_dir, frequency, protocol)
+    t.start()
+    return t
+
+
+# ---------------------------------------------------------------------------
+# PyTorch → JAX weight conversion hook
+# ---------------------------------------------------------------------------
+
+
+def load_torch_clip(path: str, params) -> Any:
+    """Import a reference (open_clip BiomedCLIP) torch checkpoint into our
+    ClipModel params when a converted .npz mapping is available. Conversion
+    tables ship in tools/convert_weights.py; this loader only consumes the
+    resulting npz (no torch dependency on the TPU host)."""
+    data = np.load(path, allow_pickle=False)
+    flat = dict(data.items())
+
+    def fill(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+            if isinstance(v, dict):
+                out[k] = fill(v, key)
+            else:
+                out[k] = flat[key].reshape(v.shape) if key in flat else v
+        return out
+
+    return fill(jax.device_get(params))

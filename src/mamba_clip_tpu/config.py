@@ -205,17 +205,11 @@ def arg_parser() -> argparse.ArgumentParser:
             else (f.default_factory() if f.default_factory is not dataclasses.MISSING else None)
         )
         if tp is bool:
-            if default:
-                parser.add_argument(
-                    name, dest=f.name, action="store_false" if False else "store_true",
-                    default=default,
-                )
-                # allow turning off a default-on bool
+            parser.add_argument(name, dest=f.name, action="store_true", default=default)
+            if default:  # allow turning off a default-on bool
                 parser.add_argument(
                     "--no-" + name[2:], dest=f.name, action="store_false"
                 )
-            else:
-                parser.add_argument(name, dest=f.name, action="store_true", default=False)
         elif get_origin(tp) is list or tp is list or (get_origin(tp) is None and tp in (List[float], List[str])):
             elem = get_args(tp)[0] if get_args(tp) else str
             parser.add_argument(name, dest=f.name, type=elem, nargs="*", default=default)

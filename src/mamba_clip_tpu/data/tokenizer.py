@@ -1,0 +1,106 @@
+"""Text tokenization for the contrastive pipeline.
+
+The reference uses open_clip's ``get_tokenizer("hf-hub:...")`` — the
+PubMedBERT WordPiece tokenizer fetched from the HF hub (reference:
+src/mamba_clip/model.py:1279, data.py tokenizes reports to a 256-token
+context). This framework must work without network access, so it ships:
+
+- :class:`HashTokenizer` — a deterministic, vocabulary-free word tokenizer:
+  lowercased word/number/punct pieces are mapped to stable ids by FNV-1a
+  hashing into the BERT-sized id space. CLS/SEP/PAD conventions match BERT
+  (CLS first, SEP last, PAD=0) so the text tower's pad-masking works
+  unchanged. For training-from-scratch (the only option without pretrained
+  weights) this is equivalent to a fixed random vocabulary assignment —
+  collisions are rare at 30k ids for a ~2k-word clinical vocabulary.
+- :class:`HFTokenizerAdapter` — wraps a local
+  ``transformers.PreTrainedTokenizerFast`` when a vocab file/dir is
+  available (for weight-converted parity runs). Selected automatically by
+  :func:`get_tokenizer` when the name is an existing path.
+
+Both return fixed-shape int32 arrays (batch, context_length) — static
+shapes are a jit requirement.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Sequence, Union
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class HashTokenizer:
+    PAD = 0
+    UNK = 1
+    CLS = 2
+    SEP = 3
+    N_SPECIAL = 4
+
+    def __init__(self, context_length: int = 256, vocab_size: int = 30522):
+        self.context_length = context_length
+        self.vocab_size = vocab_size
+
+    @property
+    def pad_id(self) -> int:
+        return self.PAD
+
+    def _encode_one(self, text: str) -> List[int]:
+        toks = _WORD_RE.findall(text.lower())
+        space = self.vocab_size - self.N_SPECIAL
+        return [self.N_SPECIAL + (_fnv1a(t) % space) for t in toks]
+
+    def __call__(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
+        for i, t in enumerate(texts):
+            ids = [self.CLS] + self._encode_one(t)[: self.context_length - 2] + [self.SEP]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class HFTokenizerAdapter:
+    """Local HuggingFace tokenizer (no network), BERT-style output."""
+
+    def __init__(self, path: str, context_length: int = 256):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+        self.context_length = context_length
+        self.vocab_size = self.tok.vocab_size
+        self.pad_id = self.tok.pad_token_id or 0
+
+    def __call__(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        enc = self.tok(
+            list(texts),
+            padding="max_length",
+            truncation=True,
+            max_length=self.context_length,
+            return_tensors="np",
+        )
+        return enc["input_ids"].astype(np.int32)
+
+
+def get_tokenizer(name_or_path: str, context_length: int = 256):
+    """Tokenizer factory (reference: open_clip get_tokenizer at
+    model.py:1279). Local paths → HF tokenizer; anything else → the
+    deterministic hash tokenizer."""
+    if name_or_path and os.path.exists(str(name_or_path)):
+        try:
+            return HFTokenizerAdapter(name_or_path, context_length)
+        except Exception:
+            pass
+    return HashTokenizer(context_length=context_length)

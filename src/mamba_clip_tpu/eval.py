@@ -1,0 +1,165 @@
+"""Eval engine: contrastive val loss, CE + pAUC (ISIC-2024 metric).
+
+Re-design of the reference evaluator (reference: src/mamba_clip/eval.py):
+- master-only validation, gated by --val-frequency (eval.py:49-58);
+- stage 1: per-batch in-batch contrastive loss, sample-weighted mean
+  (eval.py:104-116);
+- stage 2: CE + softmax probs, then **pAUC above 80% TPR** via the
+  complement-flip trick (eval.py:21-44) — the ISIC-2024 competition
+  metric;
+- metrics appended to results.jsonl (eval.py:163-165).
+
+The per-batch compute is one jitted eval step; probabilities/targets
+accumulate on host as numpy (the sklearn ROC runs on host).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .losses import clip_loss, cross_entropy_loss
+from .ops.preprocess import eval_preprocess
+from .utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def partial_auc(y_true, y_pred, min_tpr: float = 0.8) -> float:
+    """pAUC above a TPR floor (reference: eval.py:21-44). Flips labels and
+    negates scores so sklearn's max_fpr machinery computes the
+    above-min_tpr area."""
+    from sklearn.metrics import auc, roc_curve
+
+    max_fpr = abs(1 - min_tpr)
+    if not (0 < max_fpr <= 1):
+        raise ValueError(f"Expected min_tpr in [0, 1), got: {min_tpr!r}")
+    v_gt = np.abs(np.asarray(y_true) - 1)
+    v_pred = -1.0 * np.asarray(y_pred)
+    fpr, tpr, _ = roc_curve(v_gt, v_pred)
+    if max_fpr == 1:
+        return float(auc(fpr, tpr))
+    stop = np.searchsorted(fpr, max_fpr, "right")
+    x_interp = [fpr[stop - 1], fpr[stop]]
+    y_interp = [tpr[stop - 1], tpr[stop]]
+    tpr = np.append(tpr[:stop], np.interp(max_fpr, x_interp, y_interp))
+    fpr = np.append(fpr[:stop], max_fpr)
+    return float(auc(fpr, tpr))
+
+
+def make_eval_step(model, policy, tcfg, stage: int = 1, class_weights=None,
+                   takes_text: bool = True):
+    weights = (
+        jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
+    )
+
+    @jax.jit
+    def stage1_step(variables, batch):
+        images = eval_preprocess(
+            batch["image"], out_size=tcfg.image_size, mean=tcfg.mean,
+            std=tcfg.std, out_dtype=policy.compute_dtype,
+        )
+        out = model.apply(variables, image=images, text=batch["tokens"],
+                          deterministic=True)
+        loss = clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"]
+        )
+        return loss
+
+    @jax.jit
+    def stage2_step(variables, batch):
+        images = eval_preprocess(
+            batch["image"], out_size=tcfg.image_size, mean=tcfg.mean,
+            std=tcfg.std, out_dtype=policy.compute_dtype,
+        )
+        if takes_text:
+            logits = model.apply(
+                variables, images, batch.get("tokens"), deterministic=True
+            )
+        else:
+            logits = model.apply(variables, images, deterministic=True)
+        loss = cross_entropy_loss(logits, batch["target"], weight=weights)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return loss, probs
+
+    return stage1_step if stage == 1 else stage2_step
+
+
+def evaluate(
+    model,
+    state,
+    data: Dict[str, Any],
+    epoch: int,
+    args,
+    policy,
+    tcfg,
+    run_state=None,
+    stage: Optional[int] = None,
+    results_writer=None,
+    tb_writer=None,
+    class_weights=None,
+    takes_text: bool = True,
+) -> Dict[str, float]:
+    """Master-only validation (reference: eval.py:47-178)."""
+    metrics: Dict[str, float] = {}
+    rank = getattr(run_state, "rank", 0) if run_state else 0
+    if rank != 0:
+        return metrics
+    if "val" not in data:
+        return metrics
+    if args.val_frequency and not (
+        (epoch % args.val_frequency) == 0 or epoch == args.epochs
+    ):
+        return metrics
+
+    stage = stage or args.stage
+    step = make_eval_step(
+        model, policy, tcfg, stage=stage, class_weights=class_weights,
+        takes_text=takes_text,
+    )
+    variables = state.variables() if hasattr(state, "variables") else state
+
+    loader = data["val"].loader
+    loader.set_epoch(0)
+    cumulative_loss = 0.0
+    num_samples = 0
+    all_probs, all_targets = [], []
+    for i, batch in enumerate(loader):
+        bs = batch["image"].shape[0]
+        if stage == 1:
+            loss = step(variables, batch)
+        else:
+            loss, probs = step(variables, batch)
+            all_probs.append(np.asarray(probs))
+            all_targets.append(np.asarray(batch["target"]))
+        cumulative_loss += float(loss) * bs
+        num_samples += bs
+        if i % args.log_every_n_steps == 0:
+            logger.info(
+                f"Eval Epoch: {epoch} [{num_samples} / {loader.num_samples}]\t"
+                f"Loss: {cumulative_loss / num_samples:.6f}"
+            )
+
+    metrics["val_loss"] = cumulative_loss / max(num_samples, 1)
+    if all_probs:
+        probs = np.concatenate(all_probs, axis=0)
+        targets = np.concatenate(all_targets, axis=0)
+        if probs.shape[1] == 1:
+            probs = np.concatenate([1 - probs, probs], axis=1)
+        metrics["partial_auc"] = partial_auc(targets, probs[:, 1])
+    metrics.update({"epoch": epoch, "num_samples": num_samples})
+
+    logger.info(
+        f"Eval Epoch: {epoch} "
+        + "\t".join(f"{k}: {round(v, 4):.4f}" for k, v in metrics.items())
+    )
+    if tb_writer is not None:
+        for k, v in metrics.items():
+            tb_writer.add_scalar(f"val/{k}", float(v), epoch)
+    if results_writer is not None:
+        results_writer.write(metrics)
+    return metrics

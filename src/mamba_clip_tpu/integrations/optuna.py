@@ -1,0 +1,132 @@
+"""Optuna HPO driver.
+
+Re-design of the reference integration (reference:
+src/mamba_clip/integrations/optuna.py): every process runs an independent
+worker against a shared study (each rank "is master",
+reference: dist_utils.py:112-114); the TPE multivariate sampler is seeded
+per worker (optuna.py:252-253); trials deep-copy the base args, suggest
+hyperparameters (undersample size, lr, betas, eps, wd, warmup, restart
+interval, batch size, grad clip, balanced-mixup alpha — optuna.py:126-154),
+run the normal pipeline, and report the eval loss; NaN losses prune the
+trial instead of crashing the study (optuna.py:217-228); the study is
+persisted via joblib (optuna.py:311-314).
+
+optuna is an optional dependency — importing this module without it raises
+a clear error only when the driver is invoked.
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+from typing import Optional
+
+from ..config import Args
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _require_optuna():
+    try:
+        import optuna  # noqa: F401
+
+        return optuna
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "optuna is not installed; install it to use "
+            "--hyperparameter-tuning with the optuna strategy"
+        ) from e
+
+
+def suggest_args(trial, base: Args) -> Args:
+    """Search space (reference: integrations/optuna.py:126-154)."""
+    kw = dict(
+        undersample=trial.suggest_int("undersample", 10_000, 100_000, log=True)
+        if base.undersample
+        else base.undersample,
+        lr=trial.suggest_float("lr", 1e-6, 1e-3, log=True),
+        beta1=trial.suggest_float("beta1", 0.85, 0.95),
+        beta2=trial.suggest_float("beta2", 0.95, 0.999),
+        eps=trial.suggest_float("eps", 1e-9, 1e-6, log=True),
+        wd=trial.suggest_float("wd", 0.0, 0.4),
+        warmup=trial.suggest_int("warmup", 0, 10_000),
+        batch_size=trial.suggest_categorical("batch_size", [32, 64, 128]),
+        grad_clip_norm=trial.suggest_float("grad_clip_norm", 0.1, 10.0, log=True),
+        balanced_mixup=trial.suggest_float("balanced_mixup", 0.0, 0.4),
+    )
+    restart = trial.suggest_categorical("lr_restart_interval", [0, 500, 2000])
+    kw["lr_restart_interval"] = restart or None
+    return base.replace(**kw)
+
+
+def make_objective(base_args: Args):
+    from ..pipeline import pipeline
+
+    def objective(trial):
+        args = suggest_args(trial, copy.deepcopy(base_args))
+        args = args.replace(
+            name=f"{base_args.name or 'optuna'}-trial_{trial.number}",
+            return_best=True,
+            eval_loss=base_args.eval_loss or "val_loss",
+        )
+        try:
+            metrics = pipeline(args)
+        except (FloatingPointError, ValueError) as e:
+            # NaN-loss guard (reference: optuna.py:217-228)
+            logger.warning(f"trial {trial.number} failed ({e}); pruning as inf")
+            return math.inf if "min" in base_args.hopt_direction else 0.0
+        key = args.eval_loss
+        if not metrics or key not in metrics:
+            return math.inf if "min" in base_args.hopt_direction else 0.0
+        val = float(metrics[key])
+        if math.isnan(val):
+            return math.inf if "min" in base_args.hopt_direction else 0.0
+        return val
+
+    return objective
+
+
+def _storage(args: Args, optuna):
+    """Shared storage: Redis journal or RDB URL
+    (reference: optuna.py:38-59, 264-272)."""
+    url: Optional[str] = args.optuna_storage
+    if not url:
+        return None
+    if url.startswith("redis"):
+        from optuna.storages import JournalStorage
+
+        try:
+            from optuna.storages.journal import JournalRedisBackend
+        except ImportError:
+            from optuna.storages import JournalRedisStorage as JournalRedisBackend
+        return JournalStorage(JournalRedisBackend(url))
+    return url
+
+
+def optuna_pipeline(args: Args):
+    """Entry point (reference: optuna.py:237-314)."""
+    optuna = _require_optuna()
+    import jax
+
+    rank = jax.process_index()
+    sampler = optuna.samplers.TPESampler(
+        multivariate=True, seed=args.seed + rank
+    )  # seed offset per worker (reference: optuna.py:252-253)
+    direction = "minimize" if "min" in args.hopt_direction else "maximize"
+    study = optuna.create_study(
+        study_name=args.optuna_study_name or args.study_name,
+        storage=_storage(args, optuna),
+        sampler=sampler,
+        direction=direction,
+        load_if_exists=True,
+    )
+    study.optimize(make_objective(args), n_trials=args.training_iterations)
+    try:
+        import joblib
+
+        joblib.dump(study, f"{args.logs}/{study.study_name}.pkl")
+    except Exception:
+        pass
+    logger.info(f"Best trial: {study.best_trial.number} value {study.best_value}")
+    return study.best_params

@@ -1,0 +1,224 @@
+"""CLIP model: vision tower + text tower + logit scale.
+
+Re-design of the reference's ``ClipModel`` wrapper over open_clip's
+CustomTextCLIP (reference: src/mamba_clip/model.py:998-1112):
+
+- ``__call__(image, text)`` returns the same output dict —
+  {image_features, text_features, logit_scale[, logit_bias]} with
+  L2-normalized features (model.py:1019-1066);
+- ``logit_scale`` is stored as a log-scale parameter initialised to
+  ln(1/0.07) and exp'd in the forward, and the train step clamps it to
+  ln(100) exactly like the reference (train.py:312-314);
+- ``--siglip`` adds a ``logit_bias`` initialised to -10 (SigLIP recipe;
+  reference flag at pipeline.py:214-216);
+- LiT tower locking (model.py:1066-1097) is functional here: instead of
+  mutating ``requires_grad``, :func:`lock_mask` produces a boolean pytree
+  for ``optax.masked`` — frozen params get zero updates and stay exactly
+  at their checkpoint values.
+
+The vision tower is either the ViT (models/vit.py) or the VSSM backbone
+(models/vssm.py); the text tower is TextBert (models/text_bert.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .text_bert import TextBert
+from .vit import VisionTransformer
+from .vssm import VSSM
+
+Dtype = Any
+
+LOGIT_SCALE_MAX = math.log(100.0)  # reference clamps to ln(100) (train.py:312-314)
+
+
+class VssmTower(nn.Module):
+    """VSSM backbone + projection, usable as a CLIP vision tower."""
+
+    vssm: VSSM
+    embed_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        feats = self.vssm.forward_features(x, deterministic)
+        return nn.Dense(
+            self.embed_dim, use_bias=False, dtype=jnp.float32, name="proj"
+        )(feats.astype(jnp.float32))
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+class ClipModel(nn.Module):
+    """Two-tower CLIP with shared embedding space."""
+
+    visual: nn.Module
+    text: nn.Module
+    siglip: bool = False
+    init_logit_scale: float = math.log(1.0 / 0.07)
+    init_logit_bias: float = -10.0
+
+    def encode_image(self, image, normalize: bool = False, deterministic: bool = True):
+        feats = self.visual(image, deterministic)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_text(self, text, normalize: bool = False, deterministic: bool = True):
+        feats = self.text(text, deterministic)
+        return l2_normalize(feats) if normalize else feats
+
+    @nn.compact
+    def __call__(self, image=None, text=None, secondary_text=None,
+                 deterministic: bool = True):
+        logit_scale = self.param(
+            "logit_scale",
+            lambda k, s: jnp.full(s, self.init_logit_scale, jnp.float32),
+            (),
+        )
+        out = {"logit_scale": jnp.exp(logit_scale)}
+        if image is not None:
+            out["image_features"] = self.encode_image(
+                image, normalize=True, deterministic=deterministic
+            )
+        if text is not None:
+            out["text_features"] = self.encode_text(
+                text, normalize=True, deterministic=deterministic
+            )
+        if secondary_text is not None:
+            out["secondary_text_features"] = self.encode_text(
+                secondary_text, normalize=True, deterministic=deterministic
+            )
+        if self.siglip:
+            out["logit_bias"] = self.param(
+                "logit_bias",
+                lambda k, s: jnp.full(s, self.init_logit_bias, jnp.float32),
+                (),
+            )
+        return out
+
+
+def clamp_logit_scale(params):
+    """In-step clamp of the log logit scale to [0, ln 100]
+    (reference: train.py:312-314)."""
+
+    def fix(path, x):
+        if path and path[-1] == "logit_scale":
+            return jnp.clip(x, 0.0, LOGIT_SCALE_MAX)
+        return x
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    # simpler: map over dict structure
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (jnp.clip(v, 0.0, LOGIT_SCALE_MAX) if k == "logit_scale" else walk(v))
+                for k, v in tree.items()
+            }
+        return tree
+
+    return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# LiT-style tower locking → optax trainability masks
+# ---------------------------------------------------------------------------
+
+
+def _mark(tree, value: bool):
+    return jax.tree_util.tree_map(lambda _: value, tree)
+
+
+def lock_mask(
+    params,
+    lock_image: bool = False,
+    lock_image_unlocked_groups: int = 0,
+    lock_text: bool = False,
+    lock_text_unlocked_layers: int = 0,
+    lock_text_freeze_layer_norm: bool = True,
+) -> Any:
+    """Boolean pytree: True = trainable.
+
+    Mirrors the reference semantics (model.py:1066-1097): full-tower freeze,
+    or freeze all but the last N text layers / N image groups; LayerNorms in
+    frozen text regions stay trainable unless ``freeze_layer_norm``.
+    """
+
+    def lock_tower(tower: dict, unlocked_tail: int, freeze_ln: bool, layer_prefix: str):
+        names = sorted(
+            [k for k in tower if k.startswith(layer_prefix)],
+            key=lambda s: int(s[len(layer_prefix):] or 0),
+        )
+        unlocked = set(names[len(names) - unlocked_tail:]) if unlocked_tail else set()
+        out = {}
+        for k, v in tower.items():
+            if k in unlocked:
+                out[k] = _mark(v, True)
+            elif not freeze_ln and isinstance(v, dict):
+                out[k] = jax.tree_util.tree_map_with_path(
+                    lambda p, x: any(
+                        "ln" in str(getattr(q, "key", "")).lower()
+                        or "norm" in str(getattr(q, "key", "")).lower()
+                        for q in p
+                    ),
+                    v,
+                )
+            else:
+                out[k] = _mark(v, False)
+        return out
+
+    mask = jax.tree_util.tree_map(lambda _: True, params)
+    p = params["params"] if "params" in params else params
+    m = mask["params"] if "params" in mask else mask
+    if lock_image and "visual" in p:
+        m["visual"] = lock_tower(
+            p["visual"], lock_image_unlocked_groups, True, "block"
+        )
+    if lock_text and "text" in p:
+        m["text"] = lock_tower(
+            p["text"], lock_text_unlocked_layers, lock_text_freeze_layer_norm,
+            "block",
+        )
+    return mask
+
+
+def build_clip(
+    model_name: str = "biomedclip",
+    embed_dim: int = 512,
+    image_size: int = 224,
+    context_length: int = 256,
+    vocab_size: int = 30522,
+    quick_gelu: bool = False,
+    patch_dropout: float = 0.0,
+    grad_checkpointing: bool = False,
+    siglip: bool = False,
+    dtype: Dtype = jnp.float32,
+    scan_impl: Optional[str] = None,
+) -> ClipModel:
+    """CLIP factory. ``biomedclip``/ViT names → ViT-B/16 + PubMedBERT-shaped
+    towers; ``medmamba`` → VSSM vision tower (reference: model.py:1257-1289)."""
+    name = (model_name or "biomedclip").lower()
+    if "medmamba" in name or "vssm" in name:
+        vssm = VSSM(
+            depths=(2, 2, 8, 2), dims=(64, 128, 256, 512), num_classes=0,
+            dtype=dtype, scan_impl=scan_impl,
+        )
+        visual = VssmTower(vssm=vssm, embed_dim=embed_dim, name="visual")
+    else:
+        visual = VisionTransformer(
+            image_size=image_size, embed_dim=embed_dim,
+            quick_gelu=quick_gelu, patch_dropout=patch_dropout,
+            grad_checkpointing=grad_checkpointing, dtype=dtype, name="visual",
+        )
+    text = TextBert(
+        vocab_size=vocab_size, context_length=context_length,
+        embed_dim=embed_dim, grad_checkpointing=grad_checkpointing,
+        dtype=dtype, name="text",
+    )
+    return ClipModel(visual=visual, text=text, siglip=siglip)

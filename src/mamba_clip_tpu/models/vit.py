@@ -1,0 +1,146 @@
+"""Vision Transformer tower (ViT-B/16) in Flax.
+
+From-scratch TPU implementation of the visual tower the reference pulls in
+from timm/open_clip (`microsoft/BiomedCLIP-...vit_base_patch16_224`,
+reference: src/mamba_clip/model.py:1266-1281 creates it via
+``create_model_from_pretrained``). Structure: conv patchify (16x16 stride
+16) → prepend CLS token → learned position embeddings → pre-norm
+transformer blocks → final LN → CLS feature → linear projection to the
+CLIP embedding dim.
+
+TPU notes: everything is a large batched matmul (MXU); attention over the
+197-token sequence needs no special kernel — XLA fuses the softmax chain.
+``grad_checkpointing`` maps to nn.remat over blocks (reference:
+set_grad_checkpointing, model.py:1099-1102). LiT-style tower locking
+(reference: model.py:1066-1073) is realised as an optax trainability mask,
+see models/clip.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+    quick_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        if self.quick_gelu:
+            x = x * nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm transformer block (timm ViT style)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+    quick_gelu: bool = False
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(
+            self.dtype
+        )
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn",
+            deterministic=deterministic, dropout_rate=self.drop_rate,
+        )(y, y)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(
+            self.dtype
+        )
+        y = MlpBlock(
+            int(d * self.mlp_ratio), d, dtype=self.dtype,
+            quick_gelu=self.quick_gelu, name="mlp",
+        )(y)
+        return x + y
+
+
+class VisionTransformer(nn.Module):
+    """ViT with CLS pooling and optional projection head.
+
+    Defaults are ViT-B/16 at 224px (the BiomedCLIP visual tower).
+    """
+
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    embed_dim: Optional[int] = 512  # projection output; None = raw width
+    patch_dropout: float = 0.0
+    quick_gelu: bool = False
+    grad_checkpointing: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def output_dim(self) -> int:
+        return self.embed_dim or self.width
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B = x.shape[0]
+        p = self.patch_size
+        x = nn.Conv(
+            self.width, (p, p), strides=(p, p), dtype=self.dtype,
+            name="patch_embed",
+        )(x.astype(self.dtype))
+        x = x.reshape(B, -1, self.width)  # (B, H/p*W/p, width)
+        n_patches = x.shape[1]
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.width),
+            jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.width)), x],
+            axis=1,
+        )
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, n_patches + 1, self.width), jnp.float32,
+        )
+        x = x + pos.astype(self.dtype)
+
+        if self.patch_dropout > 0.0 and not deterministic:
+            # force_patch_dropout flag (reference: cli --force-patch-dropout)
+            keep = 1.0 - self.patch_dropout
+            rng = self.make_rng("dropout")
+            import jax
+
+            mask = jax.random.bernoulli(rng, keep, (B, x.shape[1] - 1, 1))
+            tokens = jnp.where(mask, x[:, 1:] / keep, 0.0)
+            x = jnp.concatenate([x[:, :1], tokens.astype(x.dtype)], axis=1)
+
+        block = EncoderBlock
+        if self.grad_checkpointing:
+            block = nn.remat(EncoderBlock, static_argnums=(2,))
+        for i in range(self.depth):
+            x = block(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype, quick_gelu=self.quick_gelu, name=f"block{i}",
+            )(x, deterministic)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x[:, 0])
+        if self.embed_dim is not None:
+            x = nn.Dense(
+                self.embed_dim, use_bias=False, dtype=jnp.float32, name="proj"
+            )(x)
+        return x

@@ -1,0 +1,159 @@
+"""Fused on-device image preprocessing.
+
+TPU-native replacement for the reference's CPU-side torchvision/timm
+transform stack (reference: src/mamba_clip/data.py:37-108 —
+train: timm ``create_transform`` RandomResizedCrop + hflip, color-jitter
+disabled, ``re_mode="pixel"`` random erasing; eval: ResizeKeepRatio →
+CenterCrop → normalize). The host only JPEG-decodes to a fixed-size uint8
+array; everything else — crop geometry, bilinear resample, horizontal
+flip, normalization, random erasing — runs inside jit on-device:
+
+- uint8 host→HBM transfers are 4x smaller than fp32 tensors;
+- the bilinear resample is two separable gathers (rows then columns), which
+  XLA lowers to efficient dynamic-slice gathers on TPU;
+- per-image randomness comes from a threaded ``jax.random`` key, so the
+  augmentation stream is reproducible and device-resident;
+- output is bf16/fp32 NHWC, ready for the model without further copies.
+
+Mean/std defaults are the OpenAI CLIP constants the reference falls back to
+(data.py:97-100).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def _separable_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample img (H, W, C) at fractional row coords ys (Oh,) and column
+    coords xs (Ow,) with bilinear interpolation, as two separable gathers."""
+    H, W, _ = img.shape
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    wy = (ys - y0.astype(ys.dtype))[:, None, None]
+    rows = img[y0] * (1.0 - wy) + img[y1] * wy  # (Oh, W, C)
+
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    wx = (xs - x0.astype(xs.dtype))[None, :, None]
+    out = rows[:, x0] * (1.0 - wx) + rows[:, x1] * wx  # (Oh, Ow, C)
+    return out
+
+
+def _crop_coords(key, H, W, out_size, scale, ratio):
+    """RandomResizedCrop geometry (timm semantics): sample area fraction and
+    aspect ratio, fall back to center crop when the box does not fit."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = H * W
+    target_area = area * jax.random.uniform(k1, (), minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        k2, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    aspect = jnp.exp(log_ratio)
+    w = jnp.sqrt(target_area * aspect)
+    h = jnp.sqrt(target_area / aspect)
+    ok = (w <= W) & (h <= H)
+    # fallback: full center square
+    side = jnp.minimum(H, W).astype(jnp.float32)
+    w = jnp.where(ok, w, side)
+    h = jnp.where(ok, h, side)
+    y0 = jax.random.uniform(k3, ()) * (H - h)
+    x0 = jax.random.uniform(k4, ()) * (W - w)
+    ys = y0 + (jnp.arange(out_size) + 0.5) * (h / out_size) - 0.5
+    xs = x0 + (jnp.arange(out_size) + 0.5) * (w / out_size) - 0.5
+    return ys, xs
+
+
+def _erase(img, key, re_prob, out_size):
+    """Random erasing, 'pixel' mode (noise fill) — timm re_mode="pixel"."""
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    do = jax.random.uniform(k1, ()) < re_prob
+    area_frac = jax.random.uniform(k2, (), minval=0.02, maxval=1.0 / 3.0)
+    aspect = jnp.exp(
+        jax.random.uniform(k3, (), minval=jnp.log(0.3), maxval=jnp.log(1 / 0.3))
+    )
+    area = area_frac * out_size * out_size
+    eh = jnp.sqrt(area / aspect)
+    ew = jnp.sqrt(area * aspect)
+    y0 = jax.random.uniform(k4, ()) * (out_size - eh)
+    x0 = jax.random.uniform(k5, ()) * (out_size - ew)
+    yy = jnp.arange(out_size, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(out_size, dtype=jnp.float32)[None, :]
+    inside = (yy >= y0) & (yy < y0 + eh) & (xx >= x0) & (xx < x0 + ew)
+    noise = jax.random.normal(k6, img.shape, img.dtype)
+    return jnp.where((inside & do)[:, :, None], noise, img)
+
+
+def _normalize(x, mean, std):
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (x - mean) / std
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "out_size", "scale", "ratio", "hflip", "re_prob", "mean", "std", "out_dtype",
+    ),
+)
+def train_preprocess(
+    images_u8: jnp.ndarray,
+    key: jnp.ndarray,
+    out_size: int = 224,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    hflip: float = 0.5,
+    re_prob: float = 0.0,
+    mean: Sequence[float] = OPENAI_MEAN,
+    std: Sequence[float] = OPENAI_STD,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """RandomResizedCrop + flip + normalize (+ random erase) on device.
+
+    images_u8: (B, H, W, 3) uint8. Returns (B, out_size, out_size, 3).
+    """
+    B, H, W, _ = images_u8.shape
+
+    def one(img_u8, k):
+        kc, kf, ke = jax.random.split(k, 3)
+        img = img_u8.astype(jnp.float32) / 255.0
+        ys, xs = _crop_coords(kc, H, W, out_size, scale, ratio)
+        flip = jax.random.uniform(kf, ()) < hflip
+        xs = jnp.where(flip, xs[::-1], xs)
+        out = _separable_bilinear(img, ys, xs)
+        out = _normalize(out, mean, std)
+        if re_prob > 0.0:
+            out = _erase(out, ke, re_prob, out_size)
+        return out
+
+    keys = jax.random.split(key, B)
+    return jax.vmap(one)(images_u8, keys).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "mean", "std", "out_dtype")
+)
+def eval_preprocess(
+    images_u8: jnp.ndarray,
+    out_size: int = 224,
+    mean: Sequence[float] = OPENAI_MEAN,
+    std: Sequence[float] = OPENAI_STD,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Center resize + normalize (host already did keep-ratio resize to the
+    staging size; this is the final ResizeKeepRatio→CenterCrop composite,
+    reference: data.py:77-95)."""
+    B, H, W, _ = images_u8.shape
+    img = images_u8.astype(jnp.float32) / 255.0
+    side = min(H, W)
+    ys = (H - side) / 2 + (jnp.arange(out_size) + 0.5) * (side / out_size) - 0.5
+    xs = (W - side) / 2 + (jnp.arange(out_size) + 0.5) * (side / out_size) - 0.5
+    out = jax.vmap(lambda im: _separable_bilinear(im, ys, xs))(img)
+    return _normalize(out, mean, std).astype(out_dtype)

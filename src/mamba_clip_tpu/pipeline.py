@@ -1,0 +1,463 @@
+"""Orchestration: run setup, param prep, epoch loop, two-stage dispatch.
+
+Re-design of the reference's pipeline (reference: src/mamba_clip/pipeline.py —
+``setup_paths`` :68-103, ``setup_train`` :106-202, ``prepare_params``
+:205-408, ``step`` :411-527, ``pipeline`` :530-639), with the §2.12 bugs
+fixed (the get_data positional misbind, the torchcompile None-return, the
+resume-latest epochs==0 crash):
+
+- stage 1: CLIP contrastive fine-tune (ViT/PubMedBERT or medmamba tower),
+  checkpoints ``stage_1_epoch_<N>`` (+ ``stage_1_epoch_latest``);
+- stage 2: ClipClassifier over the frozen stage-1 CLIP found via the
+  latest-run convention (pipeline.py:587-636);
+- lr is scaled by world size at entry (pipeline.py:532);
+- "DDP wrap" is replaced by sharding: state lives replicated (or
+  fsdp-sharded) on a jax Mesh, batches are sharded over the data axis, and
+  the jitted train step carries all collectives.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import (
+    delete_previous_checkpoint,
+    get_latest_checkpoint,
+    load_checkpoint,
+    load_params_only,
+    save_checkpoint,
+    start_sync_process,
+    remote_sync,
+)
+from .config import Args, RunState
+from .data import get_data, get_metadata, undersample_data
+from .data.loader import device_prefetch
+from .data.tokenizer import get_tokenizer
+from .eval import evaluate
+from .models import ClipClassifier, build_clip, lock_mask, medmamba
+from .optim import build_optimizer
+from .parallel.mesh import (
+    broadcast_object,
+    create_mesh,
+    data_sharding,
+    is_master,
+    maybe_initialize_distributed,
+    replicated,
+)
+from .schedules import create_schedule
+from .train import (
+    TrainState,
+    create_train_state,
+    make_classifier_train_step,
+    make_clip_train_step,
+    train_one_epoch,
+)
+from .utils.logging import ResultsWriter, create_log_path, get_logger, logger_setup
+from .utils.precision import get_policy
+
+logger = get_logger(__name__)
+
+LATEST_CHECKPOINT_NAME = "epoch_latest"
+
+
+def init_run(args: Args):
+    """Device/mesh/rank/logging bring-up (reference: init_device,
+    dist_utils.py:34-88)."""
+    maybe_initialize_distributed()
+    rank = jax.process_index()
+    world = jax.process_count()
+    run = RunState(
+        rank=rank,
+        world_size=world,
+        distributed=world > 1,
+        device=jax.devices()[0].platform,
+    )
+    logger_setup(rank=rank)
+    mesh = create_mesh()
+    return run, mesh
+
+
+def setup_paths(args: Args, run: RunState) -> RunState:
+    """Experiment naming + dirs (reference: pipeline.py:68-103)."""
+    name = args.name or create_log_path(args)
+    log_base = os.path.join(args.logs, name)
+    if is_master(run) and args.name is not None and os.path.exists(
+        os.path.join(log_base, "checkpoints")
+    ) and args.resume is None:
+        raise FileExistsError(
+            f"Experiment {name} already exists; use --name or --resume."
+        )
+    run.name = name
+    run.log_path = log_base
+    run.checkpoint_path = os.path.join(log_base, "checkpoints")
+    run.tensorboard_path = os.path.join(log_base, "tensorboard")
+    report_to = (args.report_to or "").split(",")
+    run.tensorboard = "tensorboard" in report_to
+    run.wandb = "wandb" in report_to
+    if is_master(run):
+        os.makedirs(run.checkpoint_path, exist_ok=True)
+        if run.tensorboard:
+            os.makedirs(run.tensorboard_path, exist_ok=True)
+        args.dump(os.path.join(log_base, "params.txt"))
+    return run
+
+
+def setup_train(args: Args, run: RunState, checkpoint_prefix: str = "") -> RunState:
+    """Resume discovery + remote-sync bring-up (reference:
+    pipeline.py:106-202)."""
+    resume = args.resume
+    if resume == "latest":
+        found = None
+        if is_master(run):
+            base = run.checkpoint_path
+            if args.remote_sync:
+                found = get_latest_checkpoint(
+                    os.path.join(args.remote_sync, run.name, "checkpoints"),
+                    remote=True,
+                )
+            if found is None:
+                found = get_latest_checkpoint(base)
+        found = broadcast_object(found)
+        run.resume_from = found
+        if found:
+            logger.info(f"Resuming from latest checkpoint: {found}")
+        else:
+            logger.info("No latest checkpoint found; starting fresh.")
+    elif resume:
+        run.resume_from = resume
+
+    if args.remote_sync and is_master(run):
+        remote_dir = os.path.join(args.remote_sync, run.name)
+        if not remote_sync(run.log_path, remote_dir, args.remote_sync_protocol):
+            raise RuntimeError("remote sync startup validation failed")
+        start_sync_process(
+            run.log_path, remote_dir, args.remote_sync_frequency,
+            args.remote_sync_protocol,
+        )
+    return run
+
+
+def _tb_writer(args: Args, run: RunState):
+    if not run.tensorboard or not is_master(run):
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(run.tensorboard_path)
+    except Exception:
+        return None
+
+
+def prepare_params(
+    args: Args,
+    model,
+    data: Dict[str, Any],
+    mesh,
+    run: RunState,
+    stage: int,
+    rng,
+    takes_text: bool = True,
+    class_weights=None,
+    init_params=None,
+    init_batch_stats=None,
+):
+    """Model/optimizer/schedule/state assembly (reference:
+    pipeline.py:205-408). Returns everything `step` needs."""
+    policy = get_policy(args.precision)
+    tcfg_train = data.get("tcfg_train")
+    B = args.batch_size
+    img = jnp.zeros((2, tcfg_train.image_size, tcfg_train.image_size, 3),
+                    policy.compute_dtype)
+    text_mod = getattr(model, "text", None) or getattr(
+        getattr(model, "clip", None), "text", None
+    )
+    ctx = getattr(text_mod, "context_length", 256)
+    tok = jnp.zeros((2, ctx), jnp.int32)
+
+    if init_params is None:
+        if stage == 1 and takes_text:
+            variables = model.init({"params": rng, "dropout": rng}, image=img, text=tok)
+        elif takes_text:
+            variables = model.init({"params": rng, "dropout": rng}, img, tok)
+        else:
+            variables = model.init({"params": rng, "dropout": rng}, img)
+        init_params = variables["params"]
+        init_batch_stats = variables.get("batch_stats", {})
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(init_params))
+    logger.info(f"Model parameters: {n_params / 1e6:.2f}M")
+
+    steps_per_epoch = data["train"].num_batches // max(args.accum_freq, 1) \
+        if "train" in data else 0
+    total_steps = steps_per_epoch * args.epochs
+    schedule = create_schedule(args, total_steps) if total_steps else None
+
+    mask = None
+    if stage == 1 and (args.lock_image or args.lock_text) and takes_text:
+        mask = lock_mask(
+            {"params": init_params},
+            lock_image=args.lock_image,
+            lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+            lock_text=args.lock_text,
+            lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+            lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm,
+        )
+    tx = build_optimizer(args, schedule, trainable_mask=mask)
+    state = create_train_state(init_params, tx, init_batch_stats)
+
+    # Place state on the mesh (replicated: pure DP like the reference).
+    state = jax.device_put(state, replicated(mesh))
+
+    start_epoch = 0
+    if run.resume_from:
+        state, start_epoch = load_checkpoint(run.resume_from, state)
+        logger.info(f"Resumed checkpoint (start epoch {start_epoch})")
+
+    if stage == 1 and takes_text:
+        step_fn = make_clip_train_step(
+            model, tx, policy, args, tcfg_train, schedule
+        )
+    else:
+        step_fn = make_classifier_train_step(
+            model, tx, policy, args, tcfg_train, schedule,
+            class_weights=class_weights if args.class_weighted_loss else None,
+            num_classes=args.num_classes or 2,
+        )
+    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    writer = _tb_writer(args, run)
+    return dict(
+        state=state, step_fn=step_fn, schedule=schedule, policy=policy,
+        start_epoch=start_epoch, writer=writer, mask=mask,
+    )
+
+
+def step(
+    args: Args,
+    run: RunState,
+    model,
+    data: Dict[str, Any],
+    params: Dict[str, Any],
+    mesh,
+    rng,
+    save_prefix: str = "",
+    stage: int = 1,
+    takes_text: bool = True,
+    class_weights=None,
+):
+    """Epoch loop (reference: pipeline.py:411-527)."""
+    state: TrainState = params["state"]
+    step_fn = params["step_fn"]
+    policy = params["policy"]
+    writer = params["writer"]
+    tcfg_val = data.get("tcfg_val")
+    results = ResultsWriter(os.path.join(run.checkpoint_path, "results.jsonl")) \
+        if is_master(run) else None
+
+    in_shard = data_sharding(mesh)
+
+    def put(it):
+        return device_prefetch(it, sharding=in_shard)
+
+    metrics = None
+    best = None
+    for epoch in range(params["start_epoch"], args.epochs):
+        if is_master(run):
+            logger.info(f"Start epoch {epoch}")
+        state = train_one_epoch(
+            step_fn, state, data, epoch, args, rng,
+            run_state=run, tb_writer=writer, device_put_fn=put,
+        )
+        completed = epoch + 1
+
+        _metrics = evaluate(
+            model, state, data, completed, args, policy, tcfg_val,
+            run_state=run, stage=stage, results_writer=results,
+            tb_writer=writer,
+            class_weights=class_weights if args.class_weighted_loss else None,
+            takes_text=takes_text,
+        )
+        if args.return_best and args.eval_loss and _metrics:
+            better = (
+                best is None
+                or ("min" in args.hopt_direction
+                    and _metrics[args.eval_loss] < best[args.eval_loss])
+                or ("max" in args.hopt_direction
+                    and _metrics[args.eval_loss] > best[args.eval_loss])
+            )
+            if better:
+                best = _metrics
+            metrics = best
+        elif _metrics:
+            metrics = _metrics
+
+        if is_master(run):
+            should_save = completed == args.epochs or (
+                args.save_frequency > 0 and completed % args.save_frequency == 0
+            )
+            if should_save:
+                save_checkpoint(
+                    run.checkpoint_path, state, completed, args,
+                    name=f"{save_prefix}epoch_{completed}",
+                )
+            if args.delete_previous_checkpoint:
+                prev = os.path.join(
+                    run.checkpoint_path, f"{save_prefix}epoch_{completed - 1}"
+                )
+                if os.path.isdir(prev):
+                    import shutil
+
+                    shutil.rmtree(prev)
+            if args.save_most_recent:
+                save_checkpoint(
+                    run.checkpoint_path, state, completed, args,
+                    name=f"{save_prefix}{LATEST_CHECKPOINT_NAME}",
+                )
+    # always leave a stage-latest checkpoint for stage-2 consumption
+    if is_master(run) and args.epochs > 0:
+        save_checkpoint(
+            run.checkpoint_path, state, args.epochs, args,
+            name=f"{save_prefix}{LATEST_CHECKPOINT_NAME}",
+        )
+    return metrics, state
+
+
+def _build_data(args: Args, run: RunState, tokenizer, tcfg_train, tcfg_val):
+    if args.synthetic_data:
+        data = get_data(
+            args, tokenizer=tokenizer, staging_size=tcfg_train.staging_size,
+            rank=run.rank, world_size=run.world_size,
+        )
+    else:
+        train_md, val_md, test_md = get_metadata(args)
+        if args.undersample and train_md is not None:
+            train_md, val_md = undersample_data(args, train_md, val_md)
+        data = get_data(
+            args, train_metadata=train_md, val_metadata=val_md,
+            test_metadata=test_md, tokenizer=tokenizer,
+            staging_size=tcfg_train.staging_size,
+            rank=run.rank, world_size=run.world_size,
+        )
+    data["tcfg_train"] = tcfg_train
+    data["tcfg_val"] = tcfg_val
+    return data
+
+
+def pipeline(args: Args):
+    """Two-stage dispatch (reference: pipeline.py:530-639)."""
+    run, mesh = init_run(args)
+    args = args.replace(lr=args.lr * run.world_size)  # pipeline.py:532
+    policy = get_policy(args.precision)
+    rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), run.rank)
+
+    from .data.preprocess_cfg import get_transform_config
+
+    image_size = (args.force_image_size or [224])[0]
+    tcfg_train = get_transform_config(None, image_size, is_train=True)
+    tcfg_val = get_transform_config(None, image_size, is_train=False)
+
+    metrics = None
+    stage1_name = args.model_stage_1 or args.model or "biomedclip"
+    is_medmamba_cls = stage1_name == "medmamba" and args.stage == 1
+
+    if args.stage == 1:
+        takes_text = not (args.use_visual_only or is_medmamba_cls)
+        tokenizer = get_tokenizer(args.tokenizer or stage1_name) if takes_text else None
+        if is_medmamba_cls:
+            model = medmamba(
+                num_classes=args.num_classes or 2, dtype=policy.compute_dtype,
+                use_checkpoint=args.grad_checkpointing,
+            )
+            model.takes_text = False
+        else:
+            model = build_clip(
+                model_name=stage1_name,
+                image_size=image_size,
+                quick_gelu=args.force_quick_gelu,
+                patch_dropout=args.force_patch_dropout or 0.0,
+                grad_checkpointing=args.grad_checkpointing,
+                siglip=args.siglip,
+                dtype=policy.compute_dtype,
+            )
+        data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
+        run = setup_paths(args, run)
+        run = setup_train(args, run, checkpoint_prefix=f"stage_{args.stage}_")
+        cw = data["train"].class_weights if "train" in data else None
+        params = prepare_params(
+            args, model, data, mesh, run, stage=1 if takes_text else 2,
+            rng=rng, takes_text=takes_text, class_weights=cw,
+        )
+        if "train" not in data:
+            metrics = evaluate(
+                model, params["state"], data, params["start_epoch"], args,
+                params["policy"], tcfg_val, run_state=run,
+                stage=1 if takes_text else 2, takes_text=takes_text,
+            )
+        else:
+            metrics, _ = step(
+                args, run, model, data, params, mesh, rng,
+                save_prefix=f"stage_{args.stage}_",
+                stage=1 if takes_text else 2,
+                takes_text=takes_text, class_weights=cw,
+            )
+    elif args.stage == 2:
+        tokenizer = get_tokenizer(args.tokenizer or stage1_name)
+        clip = build_clip(
+            model_name=stage1_name, image_size=image_size,
+            quick_gelu=args.force_quick_gelu, dtype=policy.compute_dtype,
+        )
+        model = ClipClassifier(
+            clip=clip,
+            num_classes=args.num_classes or 2,
+            use_visual_only=args.use_visual_only,
+            use_text_only=args.use_text_only,
+            use_inner_prod=args.use_inner_prod,
+        )
+        data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
+        run = setup_paths(args, run)
+        run = setup_train(args, run, checkpoint_prefix=f"stage_{args.stage}_")
+
+        # init then graft stage-1 weights (reference: pipeline.py:594-606)
+        img = jnp.zeros((2, image_size, image_size, 3), policy.compute_dtype)
+        tok = jnp.zeros((2, 256), jnp.int32)
+        variables = model.init({"params": rng, "dropout": rng}, img, tok)
+        init_params = dict(variables["params"])
+        init_stats = dict(variables.get("batch_stats", {}))
+        if not args.use_original_model:
+            s1_name = create_log_path(args.replace(model=stage1_name), latest=True)
+            ckpt = os.path.join(
+                args.logs, s1_name, "checkpoints", f"stage_1_{LATEST_CHECKPOINT_NAME}"
+            )
+            # ClipClassifier nests the CLIP under scope "clip"
+            clip_template = init_params["clip"]
+            loaded, stats = load_params_only_into(ckpt, clip_template)
+            init_params["clip"] = loaded
+            if stats:
+                init_stats["clip"] = stats
+            logger.info(f"Loaded stage-1 weights from {ckpt}")
+
+        cw = data["train"].class_weights if "train" in data else None
+        params = prepare_params(
+            args, model, data, mesh, run, stage=2, rng=rng,
+            takes_text=True, class_weights=cw,
+            init_params=init_params, init_batch_stats=init_stats,
+        )
+        metrics, _ = step(
+            args, run, model, data, params, mesh, rng,
+            save_prefix="stage_2_", stage=2, takes_text=True,
+            class_weights=cw,
+        )
+    return metrics
+
+
+def load_params_only_into(ckpt_path: str, template):
+    """Load a stage-1 checkpoint's params into a template pytree."""
+    from .checkpoint import load_params_only
+
+    return load_params_only(ckpt_path, template)

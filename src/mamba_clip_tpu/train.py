@@ -1,0 +1,394 @@
+"""Train engine: jitted train steps + host epoch loop.
+
+TPU re-design of the reference's train loop (reference:
+src/mamba_clip/train.py:92-385). The per-batch Python work (autocast,
+.to(device), backward, scaler, clip, clamp) collapses into ONE jitted
+step function per stage:
+
+  uint8 batch → on-device preprocess (ops/preprocess.py) → [balanced
+  mixup] → forward (bf16 compute / fp32 params) → loss → grad → clip →
+  AdamW update → logit_scale clamp (train.py:312-314)
+
+Other reference behaviors preserved:
+- gradient accumulation implements the *intended* cached-negatives recipe
+  (SURVEY §2.12.6; the reference computes the concatenated feature bank
+  but drops it, train.py:272-281): a no-grad pass caches features of all
+  micro-batches, then each micro-batch re-forwards with grad and takes the
+  InfoNCE loss against the full bank with its own slice substituted;
+- balanced mixup (train.py:66-89): lam ~ Beta(alpha, 1),
+  images = (1-lam)·imbalanced + lam·balanced, texts switch to the
+  balanced stream when lam > 0.5, targets become soft one-hot mixes;
+- throughput meters: data time, batch time, samples/s, samples/s/device
+  logged every --log-every-n-steps (train.py:319-384).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from .losses import clip_loss, cross_entropy_loss, siglip_loss
+from .models.clip import LOGIT_SCALE_MAX
+from .ops.preprocess import eval_preprocess, train_preprocess
+from .utils.logging import get_logger
+from .utils.precision import Policy
+
+logger = get_logger(__name__)
+
+
+class AverageMeter:
+    """Running average (reference: train.py:25-41)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = struct.field(default_factory=dict)
+
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def create_train_state(params, tx, batch_stats=None) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats or {},
+    )
+
+
+def _clamp_logit_scale(params):
+    if "logit_scale" in params:
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
+    return params
+
+
+def _mixup(rng, args, images, tokens, targets, mix_images, mix_tokens, mix_targets,
+           num_classes: int):
+    """Balanced-mixup math (reference: train.py:75-84)."""
+    lam = jax.random.beta(rng, args.balanced_mixup, 1.0)
+    images = (1.0 - lam) * images + lam * mix_images
+    if tokens is not None and mix_tokens is not None:
+        tokens = jnp.where(lam > 0.5, mix_tokens, tokens)
+    soft = None
+    if targets is not None:
+        one = jax.nn.one_hot(targets, num_classes)
+        two = jax.nn.one_hot(mix_targets, num_classes)
+        soft = (1.0 - lam) * one + lam * two
+    return images.astype(images.dtype), tokens, soft
+
+
+def _preprocess_train(batch_images_u8, rng, tcfg, policy: Policy):
+    return train_preprocess(
+        batch_images_u8, rng,
+        out_size=tcfg.image_size, scale=tcfg.scale, ratio=tcfg.ratio,
+        hflip=tcfg.hflip, re_prob=tcfg.re_prob, mean=tcfg.mean, std=tcfg.std,
+        out_dtype=policy.compute_dtype,
+    )
+
+
+def make_clip_train_step(
+    model,
+    tx,
+    policy: Policy,
+    args,
+    tcfg,
+    schedule: Optional[Callable] = None,
+    axis_name: Optional[str] = None,
+):
+    """Stage-1 contrastive train step. Returns fn(state, batch, rng) ->
+    (state, metrics). `batch` carries uint8 images + int32 tokens
+    (+ mix_* when balanced mixup)."""
+
+    use_siglip = bool(args.siglip)
+    accum = max(int(args.accum_freq), 1)
+    ls = policy.loss_scale
+
+    def encode(params, batch_stats, images, tokens, rngs):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            out, mut = model.apply(
+                variables, image=images, text=tokens, deterministic=False,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+            return out, mut.get("batch_stats", {})
+        out = model.apply(
+            variables, image=images, text=tokens, deterministic=False, rngs=rngs
+        )
+        return out, batch_stats
+
+    def contrastive(out):
+        if use_siglip:
+            return siglip_loss(
+                out["image_features"], out["text_features"],
+                out["logit_scale"], out.get("logit_bias", jnp.float32(0.0)),
+                axis_name=axis_name,
+            )
+        return clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"],
+            axis_name=axis_name, local_loss=args.local_loss,
+        )
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        rng = jax.random.fold_in(rng, state.step)
+        r_pp, r_mix, r_drop = jax.random.split(rng, 3)
+        images = _preprocess_train(batch["image"], r_pp, tcfg, policy)
+        tokens = batch.get("tokens")
+        if args.balanced_mixup and "mix_image" in batch:
+            mix_images = _preprocess_train(batch["mix_image"], r_mix, tcfg, policy)
+            images, tokens, _ = _mixup(
+                r_mix, args, images, tokens, None,
+                mix_images, batch.get("mix_tokens"), None, 2,
+            )
+        rngs = {"dropout": r_drop}
+
+        if accum == 1:
+            def loss_fn(params):
+                out, new_stats = encode(params, state.batch_stats, images, tokens, rngs)
+                return contrastive(out) * ls, (out, new_stats)
+
+            (loss, (out, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            loss = loss / ls
+        else:
+            mb = images.shape[0] // accum
+            im_mb = images.reshape(accum, mb, *images.shape[1:])
+            tk_mb = tokens.reshape(accum, mb, *tokens.shape[1:])
+
+            # Phase 1: no-grad feature bank (the OpenCLIP cached-negatives
+            # recipe the reference intended, SURVEY §2.12.6).
+            def fwd(xs):
+                o, _ = encode(state.params, state.batch_stats, xs[0], xs[1], rngs)
+                return o["image_features"], o["text_features"]
+
+            bank_img, bank_txt = jax.lax.map(fwd, (im_mb, tk_mb))
+            bank_img = jax.lax.stop_gradient(bank_img)
+            bank_txt = jax.lax.stop_gradient(bank_txt)
+
+            def micro(carry, j):
+                g_acc, loss_acc, stats = carry
+                im_j = jax.lax.dynamic_index_in_dim(im_mb, j, keepdims=False)
+                tk_j = jax.lax.dynamic_index_in_dim(tk_mb, j, keepdims=False)
+
+                def loss_fn(params):
+                    o, new_stats = encode(params, stats, im_j, tk_j, rngs)
+                    bi = jax.lax.dynamic_update_index_in_dim(
+                        bank_img, o["image_features"], j, 0
+                    )
+                    bt = jax.lax.dynamic_update_index_in_dim(
+                        bank_txt, o["text_features"], j, 0
+                    )
+                    full = dict(
+                        image_features=bi.reshape(-1, bi.shape[-1]),
+                        text_features=bt.reshape(-1, bt.shape[-1]),
+                        logit_scale=o["logit_scale"],
+                    )
+                    if "logit_bias" in o:
+                        full["logit_bias"] = o["logit_bias"]
+                    return contrastive(full) * ls, new_stats
+
+                (l, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + l, new_stats), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum, new_stats), _ = jax.lax.scan(
+                micro, (zero_g, 0.0, state.batch_stats), jnp.arange(accum)
+            )
+            loss = loss_sum / (ls * accum)
+            out = {"logit_scale": jnp.exp(state.params["logit_scale"])}
+
+        if ls != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: g / ls, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = _clamp_logit_scale(new_params)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            batch_stats=new_stats,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "logit_scale": out["logit_scale"],
+        }
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_classifier_train_step(
+    model,
+    tx,
+    policy: Policy,
+    args,
+    tcfg,
+    schedule: Optional[Callable] = None,
+    class_weights: Optional[np.ndarray] = None,
+    num_classes: int = 2,
+):
+    """Stage-2 CE train step (frozen-CLIP ClipClassifier or VSSM/medmamba).
+
+    The model is any module whose apply(image, text?) returns logits."""
+    weights = (
+        jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
+    )
+    ls = policy.loss_scale
+    takes_text = getattr(model, "takes_text", True)
+
+    def forward(params, batch_stats, images, tokens, rngs):
+        variables = {"params": params}
+        inputs = (images, tokens) if takes_text else (images,)
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            logits, mut = model.apply(
+                variables, *inputs, deterministic=False, rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            return logits, mut.get("batch_stats", {})
+        out = model.apply(variables, *inputs, deterministic=False, rngs=rngs)
+        return out, batch_stats
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        r_pp, r_mix, r_drop = jax.random.split(rng, 3)
+        images = _preprocess_train(batch["image"], r_pp, tcfg, policy)
+        tokens = batch.get("tokens")
+        targets = batch["target"]
+        soft = None
+        if args.balanced_mixup and "mix_image" in batch:
+            mix_images = _preprocess_train(batch["mix_image"], r_mix, tcfg, policy)
+            images, tokens, soft = _mixup(
+                r_mix, args, images, tokens, targets,
+                mix_images, batch.get("mix_tokens"), batch["mix_target"],
+                num_classes,
+            )
+        rngs = {"dropout": r_drop}
+
+        def loss_fn(params):
+            logits, new_stats = forward(params, state.batch_stats, images, tokens, rngs)
+            tgt = soft if soft is not None else targets
+            l = cross_entropy_loss(logits, tgt, weight=weights)
+            return l * ls, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        loss = loss / ls
+        if ls != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: g / ls, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            batch_stats=new_stats,
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+        return new_state, metrics
+
+    return step_fn
+
+
+def train_one_epoch(
+    step_fn,
+    state: TrainState,
+    data: Dict[str, Any],
+    epoch: int,
+    args,
+    rng,
+    run_state=None,
+    tb_writer=None,
+    device_put_fn=None,
+) -> TrainState:
+    """Host epoch loop: feeds device, meters throughput
+    (reference: train.py:92-385)."""
+    from .data.loader import device_prefetch
+
+    train_data = data["train"]
+    train_data.set_epoch(epoch)
+    loader = train_data.loader
+    num_batches = loader.num_batches
+    sample_digits = math.ceil(math.log10(max(loader.num_samples, 1) + 1))
+    world = getattr(run_state, "world_size", 1) if run_state else 1
+
+    batch_time_m, data_time_m = AverageMeter(), AverageMeter()
+    losses_m: Dict[str, AverageMeter] = {}
+    end = time.perf_counter()
+
+    it = iter(loader)
+    if device_put_fn is not None:
+        it = device_put_fn(it)
+    pending = None  # (step_idx, metrics) fetched lazily
+
+    for i, batch in enumerate(it):
+        data_time_m.update(time.perf_counter() - end)
+        state, metrics = step_fn(state, batch, rng)
+
+        log_now = (
+            i % args.log_every_n_steps == 0 or i == num_batches - 1
+        )
+        if log_now:
+            metrics = jax.device_get(metrics)
+            jax.block_until_ready(state.params)
+            batch_time_m.update(time.perf_counter() - end)
+            for k, v in metrics.items():
+                losses_m.setdefault(k, AverageMeter()).update(float(v), 1)
+            bs = int(batch["image"].shape[0])
+            n_done = (i + 1) * bs
+            pct = 100.0 * (i + 1) / num_batches
+            sps = bs * world * max(args.log_every_n_steps if i else 1, 1) / max(
+                batch_time_m.val, 1e-9
+            ) if i else bs * world / max(batch_time_m.val, 1e-9)
+            info = " ".join(
+                f"{k}: {m.val:#.5g}" for k, m in sorted(losses_m.items())
+            )
+            logger.info(
+                f"Train Epoch: {epoch} [{n_done:>{sample_digits}}/"
+                f"{loader.num_samples} ({pct:.0f}%)] {info} "
+                f"data: {data_time_m.avg:.3f}s "
+                f"batch: {batch_time_m.val:.3f}s "
+                f"samples/s: {sps:.1f} samples/s/device: {sps / max(world,1):.1f}"
+            )
+            if tb_writer is not None:
+                gstep = num_batches * epoch + i
+                for k, v in metrics.items():
+                    tb_writer.add_scalar(f"train/{k}", float(v), gstep)
+            batch_time_m.reset()
+        end = time.perf_counter()
+    return state

@@ -1,0 +1,144 @@
+"""Model tests: SS2D/VSSM shapes + finiteness, CLIP output contract,
+ClipClassifier variants, lock masks, logit-scale clamp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_clip_tpu.models import (
+    ClipClassifier,
+    ClipModel,
+    LOGIT_SCALE_MAX,
+    SS2D,
+    TextBert,
+    VSSM,
+    VisionTransformer,
+    clamp_logit_scale,
+    lock_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_clip():
+    visual = VisionTransformer(
+        image_size=32, patch_size=16, width=32, depth=1, num_heads=2,
+        embed_dim=16, name="visual",
+    )
+    text = TextBert(
+        vocab_size=128, context_length=16, width=32, depth=1, num_heads=2,
+        embed_dim=16, name="text",
+    )
+    model = ClipModel(visual=visual, text=text)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((2, 32, 32, 3))
+    tok = jnp.ones((2, 16), jnp.int32)
+    variables = model.init({"params": rng}, image=img, text=tok)
+    return model, variables
+
+
+def test_ss2d_shape(rng):
+    m = SS2D(d_model=16, d_state=4, scan_impl="xla")
+    x = jax.random.normal(rng, (2, 8, 8, 16))
+    v = m.init({"params": rng}, x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 8, 8, 16)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_ss2d_direction_merge_position_sensitivity(rng):
+    """The 4-directional scan must not be permutation-invariant over space."""
+    m = SS2D(d_model=8, d_state=4, scan_impl="xla")
+    x = jax.random.normal(rng, (1, 4, 4, 8))
+    v = m.init({"params": rng}, x)
+    y1 = m.apply(v, x)
+    y2 = m.apply(v, x[:, ::-1])
+    assert not np.allclose(np.asarray(y1), np.asarray(y2[:, ::-1]), atol=1e-4)
+
+
+def test_vssm_classifier(rng):
+    m = VSSM(
+        patch_size=4, num_classes=2, depths=(1, 1), dims=(8, 16),
+        d_state=4, scan_impl="xla",
+    )
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    v = m.init({"params": rng, "dropout": rng}, x)
+    assert "batch_stats" in v  # conv branch BatchNorm
+    logits = m.apply(v, x)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_clip_output_contract(tiny_clip):
+    """Output dict matches the reference ClipModel (model.py:1047-1058)."""
+    model, variables = tiny_clip
+    img = jnp.zeros((2, 32, 32, 3))
+    tok = jnp.ones((2, 16), jnp.int32)
+    out = model.apply(variables, image=img, text=tok)
+    assert set(out) >= {"image_features", "text_features", "logit_scale"}
+    n = np.linalg.norm(np.asarray(out["image_features"]), axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+    assert np.isclose(float(out["logit_scale"]), 1 / 0.07, atol=1e-3)
+
+
+def test_clip_classifier_variants(tiny_clip):
+    model, variables = tiny_clip
+    img = jnp.zeros((2, 32, 32, 3))
+    tok = jnp.ones((2, 16), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    for kw, dim in [
+        (dict(), 32),
+        (dict(use_visual_only=True), 16),
+        (dict(use_inner_prod=True), 16),
+    ]:
+        head = ClipClassifier(clip=model.copy(name=None), num_classes=2, **kw)
+        v = head.init({"params": rng}, img, tok)
+        logits = head.apply(v, img, tok)
+        assert logits.shape == (2, 2)
+
+
+def test_clip_classifier_freezes_clip(tiny_clip):
+    """stop_gradient must zero all grads into the CLIP towers
+    (reference freeze, model.py:1129-1131)."""
+    model, _ = tiny_clip
+    head = ClipClassifier(clip=model.copy(name=None), num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (2, 32, 32, 3))
+    tok = jnp.ones((2, 16), jnp.int32)
+    v = head.init({"params": rng}, img, tok)
+
+    def loss(p):
+        return head.apply({"params": p}, img, tok).sum()
+
+    g = jax.grad(loss)(v["params"])
+    clip_gnorm = sum(
+        float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g["clip"])
+    )
+    head_gnorm = sum(
+        float(jnp.abs(x).sum())
+        for k in ("fc1", "fc2")
+        for x in jax.tree_util.tree_leaves(g[k])
+    )
+    assert clip_gnorm == 0.0
+    assert head_gnorm > 0.0
+
+
+def test_lock_mask(tiny_clip):
+    model, variables = tiny_clip
+    mask = lock_mask(variables, lock_image=True, lock_text=False)
+    m = mask["params"]
+    assert all(not x for x in jax.tree_util.tree_leaves(m["visual"]))
+    assert all(x for x in jax.tree_util.tree_leaves(m["text"]))
+    # logit_scale stays trainable
+    assert m["logit_scale"] is True
+
+    mask2 = lock_mask(variables, lock_text=True, lock_text_unlocked_layers=1)
+    m2 = mask2["params"]["text"]
+    assert all(jax.tree_util.tree_leaves(m2["block0"]))  # last layer unlocked
+    assert not any(jax.tree_util.tree_leaves(m2["tok_emb"]))
+
+
+def test_logit_scale_clamp():
+    params = {"logit_scale": jnp.float32(9.9), "other": jnp.zeros(3)}
+    out = clamp_logit_scale(params)
+    assert float(out["logit_scale"]) == pytest.approx(LOGIT_SCALE_MAX)

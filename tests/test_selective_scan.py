@@ -1,0 +1,98 @@
+"""Selective-scan kernel tests: Pallas (interpret) vs lax.scan reference vs
+associative-scan, forward and all gradients (SURVEY §4: kernel unit tests
+against a naive-recurrence reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_clip_tpu.ops.selective_scan import (
+    selective_scan,
+    selective_scan_flops,
+    selective_scan_tm,
+)
+
+
+def _inputs(key, Bsz=2, G=2, L=70, DG=12, N=8):
+    ks = jax.random.split(key, 7)
+    u = jax.random.normal(ks[0], (Bsz, G, L, DG))
+    delta = jax.random.normal(ks[1], (Bsz, G, L, DG)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (G * DG, N)) * 0.5)
+    B = jax.random.normal(ks[3], (Bsz, G, L, N))
+    C = jax.random.normal(ks[4], (Bsz, G, L, N))
+    D = jax.random.normal(ks[5], (G * DG,))
+    bias = jax.random.normal(ks[6], (G * DG,)) * 0.1
+    return u, delta, A, B, C, D, bias
+
+
+def test_assoc_matches_scan(rng):
+    args = _inputs(rng)
+    y_ref = selective_scan_tm(*args, True, impl="xla")
+    y_assoc = selective_scan_tm(*args, True, impl="assoc")
+    np.testing.assert_allclose(y_assoc, y_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_forward_matches_scan(rng):
+    args = _inputs(rng)
+    y_ref = selective_scan_tm(*args, True, impl="xla")
+    y_pal = selective_scan_tm(*args, True, impl="pallas_interpret")
+    np.testing.assert_allclose(y_pal, y_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_gradients_match_scan(rng):
+    args = _inputs(rng, Bsz=1, G=2, L=40, DG=8, N=4)
+
+    def loss(impl):
+        def f(*a):
+            y = selective_scan_tm(*a, True, impl=impl)
+            return jnp.sum(jnp.sin(y))
+
+        return f
+
+    g_ref = jax.grad(loss("xla"), argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(loss("pallas_interpret"), argnums=tuple(range(7)))(*args)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"]
+    for name, a, b in zip(names, g_ref, g_pal):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_channel_major_wrapper(rng):
+    """The CUDA-layout entry point (b, d, l) must agree with time-major."""
+    u, delta, A, B, C, D, bias = _inputs(rng, Bsz=2, G=2, L=30, DG=6, N=4)
+    Bsz, G, L, DG = u.shape
+    u_cm = u.transpose(0, 1, 3, 2).reshape(Bsz, G * DG, L)
+    d_cm = delta.transpose(0, 1, 3, 2).reshape(Bsz, G * DG, L)
+    B_cm = B.transpose(0, 1, 3, 2)
+    C_cm = C.transpose(0, 1, 3, 2)
+    y_cm = selective_scan(u_cm, d_cm, A, B_cm, C_cm, D, bias, True, impl="xla")
+    y_tm = selective_scan_tm(u, delta, A, B, C, D, bias, True, impl="xla")
+    y_tm_cm = y_tm.transpose(0, 1, 3, 2).reshape(Bsz, G * DG, L)
+    np.testing.assert_allclose(y_cm, y_tm_cm, atol=1e-6)
+
+
+def test_no_delta_softplus_and_no_extras(rng):
+    u, delta, A, B, C, D, bias = _inputs(rng, Bsz=1, G=1, L=20, DG=4, N=4)
+    y1 = selective_scan_tm(u, delta, A, B, C, impl="xla")
+    y2 = selective_scan_tm(u, delta, A, B, C, impl="pallas_interpret")
+    np.testing.assert_allclose(y1, y2, atol=2e-5, rtol=2e-5)
+
+
+def test_fp32_output_contract(rng):
+    """Matches the CUDA kernel contract the reference asserts
+    (model.py:551,639): output is fp32 even for bf16 inputs."""
+    u, delta, A, B, C, D, bias = _inputs(rng, Bsz=1, G=1, L=16, DG=4, N=4)
+    y = selective_scan_tm(
+        u.astype(jnp.bfloat16), delta.astype(jnp.bfloat16), A,
+        B.astype(jnp.bfloat16), C.astype(jnp.bfloat16), D, bias, True,
+        impl="pallas_interpret",
+    )
+    assert y.dtype == jnp.float32
+
+
+def test_flops_model():
+    assert selective_scan_flops(2, 8, 16, 4) == 9 * 2 * 16 * 8 * 4 + 2 * 2 * 8 * 16
