@@ -79,15 +79,22 @@ def main():
         ),
     }
 
+    def force_sync(state, metrics):
+        # On the axon tunnel backend block_until_ready can return before
+        # execution finishes; fetching values is the only reliable barrier.
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        return float(metrics["loss"]), np.asarray(jax.device_get(leaf)).ravel()[0]
+
     for _ in range(WARMUP):
         state, metrics = step_fn(state, batch, rng)
-    jax.block_until_ready(state.params)
+    force_sync(state, metrics)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step_fn(state, batch, rng)
-    jax.block_until_ready(state.params)
+    loss, _ = force_sync(state, metrics)
     dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f"non-finite training loss {loss}"
 
     n_chips = jax.local_device_count()
     img_per_s = BATCH * STEPS / dt / n_chips

@@ -99,14 +99,20 @@ class IsicChallengeDataset:
         return self._h5
 
     def _load_image(self, isic_id: str) -> np.ndarray:
+        if self.is_hdf5:
+            blob = bytes(self._h5_file()[isic_id][()])
+        else:
+            with open(os.path.join(self.data_path, f"{isic_id}.jpg"), "rb") as f:
+                blob = f.read()
+        # native fast path: libjpeg DCT-scaled decode + fused staging resize
+        from . import fastimage
+
+        out = fastimage.decode_resize(blob, self.staging_size)
+        if out is not None:
+            return out
         from PIL import Image
 
-        if self.is_hdf5:
-            blob = self._h5_file()[isic_id][()]
-            img = Image.open(io.BytesIO(blob))
-        else:
-            img = Image.open(os.path.join(self.data_path, f"{isic_id}.jpg"))
-        return _decode_to_square(img, self.staging_size)
+        return _decode_to_square(Image.open(io.BytesIO(blob)), self.staging_size)
 
     def __getitem__(self, idx: int) -> dict:
         isic_id = self.ids[idx]

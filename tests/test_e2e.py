@@ -1,0 +1,99 @@
+"""End-to-end smoke: stage-1 contrastive → checkpoint → stage-2 classifier
+on synthetic ISIC-shaped data with tiny towers (SURVEY §4: e2e smoke on
+synthetic data). Slowest test in the suite — everything compiles on CPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mamba_clip_tpu.config import Args
+from mamba_clip_tpu.data.tokenizer import HashTokenizer
+
+
+@pytest.fixture()
+def tiny_build(monkeypatch):
+    import mamba_clip_tpu.pipeline as P
+
+    def small(**kw):
+        from mamba_clip_tpu.models.clip import ClipModel
+        from mamba_clip_tpu.models.text_bert import TextBert
+        from mamba_clip_tpu.models.vit import VisionTransformer
+
+        visual = VisionTransformer(
+            image_size=32, patch_size=16, width=32, depth=1, num_heads=2,
+            embed_dim=16, name="visual",
+        )
+        text = TextBert(
+            vocab_size=512, context_length=32, width=32, depth=1,
+            num_heads=2, embed_dim=16, name="text",
+        )
+        return ClipModel(visual=visual, text=text)
+
+    monkeypatch.setattr(P, "build_clip", small)
+    monkeypatch.setattr(
+        P, "get_tokenizer", lambda name, context_length=32: HashTokenizer(32, 512)
+    )
+    return P
+
+
+def _args(tmp_path, **kw):
+    base = dict(
+        synthetic_data=True,
+        model_stage_1="tiny",
+        batch_size=8,
+        epochs=1,
+        train_num_samples=32,
+        val_num_samples=16,
+        lr=1e-3,
+        warmup=1,
+        precision="fp32",
+        logs=str(tmp_path),
+        workers=1,
+        log_every_n_steps=10,
+        force_image_size=[32],
+        save_most_recent=True,
+        num_classes=2,
+    )
+    base.update(kw)
+    return Args(**base)
+
+
+def test_two_stage_pipeline(tiny_build, tmp_path):
+    P = tiny_build
+    args1 = _args(tmp_path, name="e2e-s1", stage=1)
+    m1 = P.pipeline(args1)
+    assert m1 and np.isfinite(m1["val_loss"])
+    ckpt = os.path.join(tmp_path, "e2e-s1", "checkpoints", "stage_1_epoch_latest")
+    assert os.path.isdir(ckpt)
+
+    # stage 2 consumes stage_1_epoch_latest via the latest-run convention
+    args2 = _args(
+        tmp_path, name="e2e-s2", stage=2, model=args1.model_stage_1,
+        model_stage_1=args1.model_stage_1,
+    )
+    # point the latest-run lookup at stage-1's run dir
+    import mamba_clip_tpu.pipeline as PP
+
+    orig_clp = PP.create_log_path
+    PP.create_log_path = lambda a, latest=False: "e2e-s1" if latest else orig_clp(a)
+    try:
+        m2 = P.pipeline(args2)
+    finally:
+        PP.create_log_path = orig_clp
+    assert m2 and np.isfinite(m2["val_loss"])
+    assert "partial_auc" in m2
+    assert 0.0 <= m2["partial_auc"] <= 0.2
+
+
+def test_results_jsonl_written(tiny_build, tmp_path):
+    P = tiny_build
+    args = _args(tmp_path, name="e2e-jsonl", stage=1)
+    P.pipeline(args)
+    path = os.path.join(tmp_path, "e2e-jsonl", "checkpoints", "results.jsonl")
+    assert os.path.exists(path)
+    import json
+
+    rows = [json.loads(l) for l in open(path)]
+    assert rows and "val_loss" in rows[0]

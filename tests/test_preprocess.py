@@ -3,11 +3,20 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mamba_clip_tpu.ops.preprocess import (
     eval_preprocess,
     train_preprocess,
 )
+
+
+@pytest.fixture(autouse=True)
+def _eager():
+    """Run eagerly: the gather-based resampler compiles slowly on the
+    single-core CI host; values are identical either way."""
+    with jax.disable_jit():
+        yield
 
 
 def test_eval_preprocess_identity_resize():
