@@ -103,6 +103,14 @@ class ClipModel(nn.Module):
             )
         return out
 
+    def get_logits(self, image, text):
+        """(image_logits, text_logits) pair (reference: model.py:1104-1112)."""
+        out = self(image=image, text=text)
+        logits = out["logit_scale"] * out["image_features"] @ out["text_features"].T
+        if "logit_bias" in out:
+            logits = logits + out["logit_bias"]
+        return logits, logits.T
+
 
 def clamp_logit_scale(params):
     """In-step clamp of the log logit scale to [0, ln 100]

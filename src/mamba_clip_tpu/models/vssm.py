@@ -330,6 +330,29 @@ class PatchExpand2D(nn.Module):
         )
 
 
+class FinalPatchExpand2D(nn.Module):
+    """Final 4x decoder upsample (reference: model.py:275-294; part of the
+    VSSM decoder API surface, unused in the classification path)."""
+
+    dim: int
+    dim_scale: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        s = self.dim_scale
+        x = nn.Dense(
+            s * C, use_bias=False, dtype=self.dtype,
+            kernel_init=trunc_normal_02, name="expand",
+        )(x)
+        x = x.reshape(B, H, W, s, s, C // s)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * s, W * s, C // s)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(
+            self.dtype
+        )
+
+
 class VSSLayer(nn.Module):
     """One stage: depth × SSConvSSM, optional downsample
     (reference: model.py:726-795)."""
@@ -364,6 +387,39 @@ class VSSLayer(nn.Module):
             )(x, deterministic)
         if self.downsample:
             x = PatchMerging2D(self.dim, dtype=self.dtype, name="downsample")(x)
+        return x
+
+
+class VSSLayerUp(nn.Module):
+    """Decoder stage: blocks + PatchExpand2D upsample
+    (reference: model.py:798-865; ships for parity with the reference's
+    decoder API, unused in the classification path)."""
+
+    dim: int
+    depth: int
+    d_state: int = 16
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = ()
+    upsample: bool = False
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+    scan_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.upsample:
+            x = PatchExpand2D(self.dim, dtype=self.dtype, name="upsample")(x)
+        block_cls = SSConvSSM
+        if self.use_checkpoint:
+            block_cls = nn.remat(SSConvSSM, static_argnums=(2,))
+        dim = x.shape[-1]
+        for i in range(self.depth):
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
+            x = block_cls(
+                hidden_dim=dim, drop_path=dp, attn_drop_rate=self.attn_drop,
+                d_state=self.d_state, dtype=self.dtype,
+                scan_impl=self.scan_impl, name=f"block{i}",
+            )(x, deterministic)
         return x
 
 

@@ -221,7 +221,7 @@ def prepare_params(
 
     if stage == 1 and takes_text:
         step_fn = make_clip_train_step(
-            model, tx, policy, args, tcfg_train, schedule
+            model, tx, policy, args, tcfg_train, schedule, mesh=mesh
         )
     else:
         step_fn = make_classifier_train_step(
@@ -265,6 +265,15 @@ def step(
     def put(it):
         return device_prefetch(it, sharding=in_shard)
 
+    if run.wandb and is_master(run):
+        from .utils import wandb_utils
+
+        wandb_utils.init_wandb(args, run)
+
+    trace_dir = (
+        os.path.join(run.log_path, "trace") if args.trace and is_master(run) else None
+    )
+
     metrics = None
     best = None
     for epoch in range(params["start_epoch"], args.epochs):
@@ -273,6 +282,7 @@ def step(
         state = train_one_epoch(
             step_fn, state, data, epoch, args, rng,
             run_state=run, tb_writer=writer, device_put_fn=put,
+            trace_dir=trace_dir if epoch == params["start_epoch"] else None,
         )
         completed = epoch + 1
 
@@ -325,6 +335,10 @@ def step(
             run.checkpoint_path, state, args.epochs, args,
             name=f"{save_prefix}{LATEST_CHECKPOINT_NAME}",
         )
+    if run.wandb and is_master(run):
+        from .utils import wandb_utils
+
+        wandb_utils.finish()
     return metrics, state
 
 
@@ -425,7 +439,8 @@ def pipeline(args: Args):
 
         # init then graft stage-1 weights (reference: pipeline.py:594-606)
         img = jnp.zeros((2, image_size, image_size, 3), policy.compute_dtype)
-        tok = jnp.zeros((2, 256), jnp.int32)
+        ctx = getattr(clip.text, "context_length", 256)
+        tok = jnp.zeros((2, ctx), jnp.int32)
         variables = model.init({"params": rng, "dropout": rng}, img, tok)
         init_params = dict(variables["params"])
         init_stats = dict(variables.get("batch_stats", {}))

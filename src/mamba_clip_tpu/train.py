@@ -122,15 +122,26 @@ def make_clip_train_step(
     args,
     tcfg,
     schedule: Optional[Callable] = None,
-    axis_name: Optional[str] = None,
+    mesh=None,
 ):
     """Stage-1 contrastive train step. Returns fn(state, batch, rng) ->
     (state, metrics). `batch` carries uint8 images + int32 tokens
-    (+ mix_* when balanced mixup)."""
+    (+ mix_* when balanced mixup).
+
+    With ``mesh`` and --local-loss, the InfoNCE runs inside shard_map with
+    an explicit `all_gather` over the data axis and per-shard logits
+    (the reference's memory-saving local_loss, loss.py:101-103); otherwise
+    the loss is written over global features and pjit inserts the gather
+    (gather_with_grad semantics for free)."""
 
     use_siglip = bool(args.siglip)
     accum = max(int(args.accum_freq), 1)
     ls = policy.loss_scale
+    use_shardmap = (
+        mesh is not None
+        and bool(args.local_loss)
+        and int(np.prod(list(mesh.shape.values()))) > 1
+    )
 
     def encode(params, batch_stats, images, tokens, rngs):
         variables = {"params": params}
@@ -147,15 +158,40 @@ def make_clip_train_step(
         return out, batch_stats
 
     def contrastive(out):
+        if use_shardmap:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.mesh import DATA_AXIS, FSDP_AXIS
+
+            batch_axes = tuple(
+                ax for ax in (DATA_AXIS, FSDP_AXIS) if mesh.shape.get(ax, 1) > 1
+            ) or (DATA_AXIS,)
+            spec = P(batch_axes)
+
+            def f(img, txt, scale, bias):
+                if use_siglip:
+                    l = siglip_loss(img, txt, scale, bias, axis_name=batch_axes)
+                else:
+                    l = clip_loss(
+                        img, txt, scale, axis_name=batch_axes, local_loss=True,
+                        logit_bias=bias if use_siglip else None,
+                    )
+                return jax.lax.pmean(l, batch_axes)
+
+            bias = out.get("logit_bias", jnp.float32(0.0))
+            return shard_map(
+                f, mesh=mesh, in_specs=(spec, spec, P(), P()), out_specs=P(),
+                check_vma=False,
+            )(out["image_features"], out["text_features"],
+              out["logit_scale"], bias)
         if use_siglip:
             return siglip_loss(
                 out["image_features"], out["text_features"],
                 out["logit_scale"], out.get("logit_bias", jnp.float32(0.0)),
-                axis_name=axis_name,
             )
         return clip_loss(
             out["image_features"], out["text_features"], out["logit_scale"],
-            axis_name=axis_name, local_loss=args.local_loss,
         )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
@@ -335,9 +371,12 @@ def train_one_epoch(
     run_state=None,
     tb_writer=None,
     device_put_fn=None,
+    trace_dir: Optional[str] = None,
 ) -> TrainState:
     """Host epoch loop: feeds device, meters throughput
-    (reference: train.py:92-385)."""
+    (reference: train.py:92-385). When ``trace_dir`` is set (the --trace
+    flag; the reference's TorchScript trace has no TPU analog, so it maps
+    to a jax.profiler capture) steps 3-8 of the epoch are profiled."""
     from .data.loader import device_prefetch
 
     train_data = data["train"]
@@ -356,9 +395,18 @@ def train_one_epoch(
         it = device_put_fn(it)
     pending = None  # (step_idx, metrics) fetched lazily
 
+    tracing = False
     for i, batch in enumerate(it):
+        if trace_dir and i == 3 and not tracing:
+            jax.profiler.start_trace(trace_dir)
+            tracing = True
         data_time_m.update(time.perf_counter() - end)
         state, metrics = step_fn(state, batch, rng)
+        if tracing and i == 8:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            tracing = False
+            logger.info(f"profiler trace written to {trace_dir}")
 
         log_now = (
             i % args.log_every_n_steps == 0 or i == num_batches - 1
@@ -391,4 +439,7 @@ def train_one_epoch(
                     tb_writer.add_scalar(f"train/{k}", float(v), gstep)
             batch_time_m.reset()
         end = time.perf_counter()
+    if tracing:
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
     return state

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mamba_clip_tpu.losses import clip_loss, cross_entropy_loss, siglip_loss
 
@@ -61,7 +61,7 @@ def test_sharded_global_matches_single(rng):
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P(),  # identical loss on every shard
-        check_rep=False,
+        check_vma=False,
     )
     got = float(fn(img, txt))
     assert np.isclose(got, expect, atol=1e-5)
@@ -82,7 +82,7 @@ def test_sharded_local_loss_matches_global(rng):
 
     fn = shard_map(
         local, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     got = float(fn(img, txt))
     assert np.isclose(got, expect, atol=1e-5)

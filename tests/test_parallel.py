@@ -1,0 +1,99 @@
+"""Mesh / sharding / multi-device train-step tests on the virtual 8-device
+CPU mesh (SURVEY §4: multi-device tests without hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_clip_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MeshSpec,
+    create_mesh,
+    data_sharding,
+    local_batch_slice,
+    replicated,
+)
+
+
+def test_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    mesh2 = create_mesh(MeshSpec(data=4, fsdp=2))
+    assert mesh2.shape[DATA_AXIS] == 4 and mesh2.shape["fsdp"] == 2
+    with pytest.raises(ValueError):
+        create_mesh(MeshSpec(data=3, fsdp=2))
+
+
+def test_data_sharding_places_shards():
+    mesh = create_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = jax.device_put(x, data_sharding(mesh))
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_local_batch_slice():
+    s = local_batch_slice(64, rank=2, world=4)
+    assert (s.start, s.stop) == (32, 48)
+
+
+def test_local_loss_train_step_multichip():
+    """Full clip train step with --local-loss shard_map collectives over the
+    8-device mesh; loss must match the single-device global loss."""
+    from mamba_clip_tpu.config import Args
+    from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
+    from mamba_clip_tpu.models.clip import ClipModel
+    from mamba_clip_tpu.models.text_bert import TextBert
+    from mamba_clip_tpu.models.vit import VisionTransformer
+    from mamba_clip_tpu.optim import build_optimizer
+    from mamba_clip_tpu.schedules import create_schedule
+    from mamba_clip_tpu.train import create_train_state, make_clip_train_step
+    from mamba_clip_tpu.utils.precision import get_policy
+
+    mesh = create_mesh()
+    visual = VisionTransformer(image_size=32, patch_size=16, width=32,
+                               depth=1, num_heads=2, embed_dim=16,
+                               name="visual")
+    text = TextBert(vocab_size=128, context_length=16, width=32, depth=1,
+                    num_heads=2, embed_dim=16, name="text")
+    model = ClipModel(visual=visual, text=text)
+
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.zeros((2, 16), jnp.int32),
+    )
+    args_local = Args(batch_size=16, epochs=1, lr=1e-3, warmup=1,
+                      precision="fp32", local_loss=True)
+    args_global = args_local.replace(local_loss=False)
+    schedule = create_schedule(args_local, 10)
+    tx = build_optimizer(args_local, schedule)
+
+    r = np.random.default_rng(0)
+    batch = {
+        "image": r.integers(0, 256, (16, 40, 40, 3), dtype=np.uint8),
+        "tokens": r.integers(4, 128, (16, 16), dtype=np.int32),
+    }
+
+    losses = {}
+    for name, a, use_mesh in [
+        ("local", args_local, True), ("global", args_global, False)
+    ]:
+        state = create_train_state(variables["params"], tx, {})
+        if use_mesh:
+            state = jax.device_put(state, replicated(mesh))
+            b = jax.device_put(batch, data_sharding(mesh))
+            fn = jax.jit(make_clip_train_step(
+                model, tx, policy, a, tcfg, schedule, mesh=mesh))
+        else:
+            b = batch
+            fn = jax.jit(make_clip_train_step(
+                model, tx, policy, a, tcfg, schedule))
+        with mesh:
+            new_state, metrics = fn(state, b, rng)
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+    assert np.isclose(losses["local"], losses["global"], atol=1e-4)
