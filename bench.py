@@ -35,6 +35,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from mamba_clip_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mamba_clip_tpu.config import Args
     from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
     from mamba_clip_tpu.models import build_clip

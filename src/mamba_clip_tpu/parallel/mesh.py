@@ -35,6 +35,21 @@ FSDP_AXIS = "fsdp"
 MODEL_AXIS = "model"
 
 
+def enable_compilation_cache(path: str = "~/.cache/mamba_clip_tpu/jax") -> None:
+    """Persistent XLA compilation cache — first-compile cost (significant
+    through the remote-compile tunnel, and for the Pallas kernels) is paid
+    once per shape across processes."""
+    import os as _os
+
+    path = _os.path.expanduser(path)
+    _os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
 def world_info_from_env() -> Tuple[int, int, int]:
     """(rank, local_rank, world_size) — the JAX process view.
 

@@ -69,6 +69,9 @@ LATEST_CHECKPOINT_NAME = "epoch_latest"
 def init_run(args: Args):
     """Device/mesh/rank/logging bring-up (reference: init_device,
     dist_utils.py:34-88)."""
+    from .parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
     maybe_initialize_distributed()
     rank = jax.process_index()
     world = jax.process_count()
