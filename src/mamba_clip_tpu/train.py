@@ -389,11 +389,12 @@ def train_one_epoch(
     batch_time_m, data_time_m = AverageMeter(), AverageMeter()
     losses_m: Dict[str, AverageMeter] = {}
     end = time.perf_counter()
+    window_start = end
+    window_steps = 0
 
     it = iter(loader)
     if device_put_fn is not None:
         it = device_put_fn(it)
-    pending = None  # (step_idx, metrics) fetched lazily
 
     tracing = False
     for i, batch in enumerate(it):
@@ -408,21 +409,22 @@ def train_one_epoch(
             tracing = False
             logger.info(f"profiler trace written to {trace_dir}")
 
+        window_steps += 1
         log_now = (
             i % args.log_every_n_steps == 0 or i == num_batches - 1
         )
         if log_now:
-            metrics = jax.device_get(metrics)
-            jax.block_until_ready(state.params)
-            batch_time_m.update(time.perf_counter() - end)
+            # fetching a metric scalar is the real device barrier (on the
+            # tunnel backend block_until_ready can return early)
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            now = time.perf_counter()
+            batch_time_m.update((now - window_start) / window_steps, window_steps)
             for k, v in metrics.items():
-                losses_m.setdefault(k, AverageMeter()).update(float(v), 1)
+                losses_m.setdefault(k, AverageMeter()).update(v, 1)
             bs = int(batch["image"].shape[0])
             n_done = (i + 1) * bs
             pct = 100.0 * (i + 1) / num_batches
-            sps = bs * world * max(args.log_every_n_steps if i else 1, 1) / max(
-                batch_time_m.val, 1e-9
-            ) if i else bs * world / max(batch_time_m.val, 1e-9)
+            sps = bs * world / max(batch_time_m.val, 1e-9)
             info = " ".join(
                 f"{k}: {m.val:#.5g}" for k, m in sorted(losses_m.items())
             )
@@ -436,8 +438,9 @@ def train_one_epoch(
             if tb_writer is not None:
                 gstep = num_batches * epoch + i
                 for k, v in metrics.items():
-                    tb_writer.add_scalar(f"train/{k}", float(v), gstep)
-            batch_time_m.reset()
+                    tb_writer.add_scalar(f"train/{k}", v, gstep)
+            window_start = now
+            window_steps = 0
         end = time.perf_counter()
     if tracing:
         jax.block_until_ready(state.params)
