@@ -231,6 +231,7 @@ def prepare_params(
             model, tx, policy, args, tcfg_train, schedule,
             class_weights=class_weights if args.class_weighted_loss else None,
             num_classes=args.num_classes or 2,
+            takes_text=takes_text,
         )
     step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -391,7 +392,6 @@ def pipeline(args: Args):
                 num_classes=args.num_classes or 2, dtype=policy.compute_dtype,
                 use_checkpoint=args.grad_checkpointing,
             )
-            model.takes_text = False
         else:
             model = build_clip(
                 model_name=stage1_name,

@@ -296,6 +296,7 @@ def make_classifier_train_step(
     schedule: Optional[Callable] = None,
     class_weights: Optional[np.ndarray] = None,
     num_classes: int = 2,
+    takes_text: bool = True,
 ):
     """Stage-2 CE train step (frozen-CLIP ClipClassifier or VSSM/medmamba).
 
@@ -304,7 +305,6 @@ def make_classifier_train_step(
         jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
     )
     ls = policy.loss_scale
-    takes_text = getattr(model, "takes_text", True)
 
     def forward(params, batch_stats, images, tokens, rngs):
         variables = {"params": params}
