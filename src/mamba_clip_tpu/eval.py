@@ -109,7 +109,7 @@ def evaluate(
     rank = getattr(run_state, "rank", 0) if run_state else 0
     if rank != 0:
         return metrics
-    if "val" not in data:
+    if "val" not in data and "test" not in data:
         return metrics
     if args.val_frequency and not (
         (epoch % args.val_frequency) == 0 or epoch == args.epochs
@@ -123,7 +123,8 @@ def evaluate(
     )
     variables = state.variables() if hasattr(state, "variables") else state
 
-    loader = data["val"].loader
+    split = "val" if "val" in data else "test"
+    loader = data[split].loader
     loader.set_epoch(0)
     cumulative_loss = 0.0
     num_samples = 0

@@ -1,0 +1,122 @@
+"""Train-step unit tests: grad accumulation (cached-negatives recipe),
+precision policies, balanced mixup, logit-scale clamp in-step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamba_clip_tpu.config import Args
+from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
+from mamba_clip_tpu.models.clip import ClipModel, LOGIT_SCALE_MAX
+from mamba_clip_tpu.models.text_bert import TextBert
+from mamba_clip_tpu.models.vit import VisionTransformer
+from mamba_clip_tpu.optim import build_optimizer
+from mamba_clip_tpu.schedules import create_schedule
+from mamba_clip_tpu.train import (
+    create_train_state,
+    make_classifier_train_step,
+    make_clip_train_step,
+)
+from mamba_clip_tpu.utils.precision import get_policy
+
+
+@pytest.fixture(scope="module")
+def setup():
+    visual = VisionTransformer(image_size=32, patch_size=16, width=32,
+                               depth=1, num_heads=2, embed_dim=16,
+                               name="visual")
+    text = TextBert(vocab_size=128, context_length=16, width=32, depth=1,
+                    num_heads=2, embed_dim=16, name="text")
+    model = ClipModel(visual=visual, text=text)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.zeros((2, 16), jnp.int32),
+    )
+    r = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(r.integers(0, 256, (8, 40, 40, 3), dtype=np.uint8)),
+        "tokens": jnp.asarray(r.integers(4, 128, (8, 16), dtype=np.int32)),
+        "target": jnp.asarray(r.integers(0, 2, (8,), dtype=np.int32)),
+    }
+    return model, variables, batch, rng
+
+
+def _step(model, variables, args, policy_name="fp32"):
+    policy = get_policy(policy_name)
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(variables["params"], tx, {})
+    fn = jax.jit(make_clip_train_step(model, tx, policy, args, tcfg, schedule))
+    return state, fn
+
+
+def test_grad_accum_cached_negatives(setup):
+    """accum_freq=2 runs the two-phase cached-negatives recipe and produces
+    finite loss/grads (the intent of reference train.py:199-290, SURVEY
+    §2.12.6)."""
+    model, variables, batch, rng = setup
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1, accum_freq=2,
+                precision="fp32")
+    state, fn = _step(model, variables, args)
+    new_state, metrics = fn(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # params actually moved
+    delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree_util.tree_leaves(delta)) > 0
+
+
+@pytest.mark.parametrize("precision", ["fp32", "amp", "fp16"])
+def test_precision_policies(setup, precision):
+    model, variables, batch, rng = setup
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1, precision=precision)
+    state, fn = _step(model, variables, args, precision)
+    new_state, metrics = fn(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"])), precision
+
+
+def test_logit_scale_clamped(setup):
+    model, variables, batch, rng = setup
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1, precision="fp32")
+    params = dict(variables["params"])
+    params["logit_scale"] = jnp.float32(10.0)  # above ln(100)
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    tx = build_optimizer(args, create_schedule(args, 10))
+    state = create_train_state(params, tx, {})
+    fn = jax.jit(make_clip_train_step(
+        model, tx, policy, args, tcfg, create_schedule(args, 10)))
+    new_state, _ = fn(state, batch, rng)
+    assert float(new_state.params["logit_scale"]) <= LOGIT_SCALE_MAX + 1e-6
+
+
+def test_balanced_mixup_classifier(setup):
+    """Mixup produces soft targets and a finite CE loss
+    (reference train.py:75-84 semantics)."""
+    from mamba_clip_tpu.models.heads import ClipClassifier
+
+    model, variables, batch, rng = setup
+    head = ClipClassifier(clip=model.copy(name=None), num_classes=2)
+    hv = head.init({"params": rng}, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 16), jnp.int32))
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1, precision="fp32",
+                balanced_mixup=0.3, num_classes=2)
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    tx = build_optimizer(args, create_schedule(args, 10))
+    state = create_train_state(hv["params"], tx, {})
+    fn = jax.jit(make_classifier_train_step(
+        model=head, tx=tx, policy=policy, args=args, tcfg=tcfg,
+        schedule=create_schedule(args, 10), num_classes=2, takes_text=True,
+    ))
+    mix_batch = dict(batch)
+    mix_batch["mix_image"] = batch["image"][::-1]
+    mix_batch["mix_tokens"] = batch["tokens"][::-1]
+    mix_batch["mix_target"] = batch["target"][::-1]
+    new_state, metrics = fn(state, mix_batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
