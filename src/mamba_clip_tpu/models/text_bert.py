@@ -22,6 +22,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .vit import FusedAttention
+
 Dtype = Any
 
 
@@ -35,9 +37,9 @@ class BertBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         d = x.shape[-1]
-        y = nn.MultiHeadDotProductAttention(
+        y = FusedAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn",
-        )(x, x, mask=mask)
+        )(x, pad_mask=mask)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_attn")(
             x + y
         ).astype(self.dtype)

@@ -20,10 +20,42 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+class FusedAttention(nn.Module):
+    """Multi-head attention with a fused QKV projection.
+
+    One (d, 3d) matmul instead of three (d, d) — bigger MXU tiles, fewer
+    kernels. Softmax runs in fp32 (matches torch-AMP numerics the
+    reference trains with). Optional additive-key padding mask.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None):
+        B, T, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, h, hd)
+        k = k.reshape(B, T, h, hd)
+        v = v.reshape(B, T, h, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+        s = s.astype(jnp.float32)
+        if pad_mask is not None:
+            # pad_mask: (B, 1, 1, T) True = attend
+            s = jnp.where(pad_mask, s, jnp.float32(-1e9))
+        p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, d)
+        return nn.Dense(d, dtype=self.dtype, name="out")(o)
 
 
 class MlpBlock(nn.Module):
@@ -57,10 +89,8 @@ class EncoderBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(
             self.dtype
         )
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn",
-            deterministic=deterministic, dropout_rate=self.drop_rate,
-        )(y, y)
+        y = FusedAttention(num_heads=self.num_heads, dtype=self.dtype,
+                           name="attn")(y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(
             self.dtype
@@ -96,13 +126,19 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        B = x.shape[0]
+        B, H, W, C = x.shape
         p = self.patch_size
-        x = nn.Conv(
-            self.width, (p, p), strides=(p, p), dtype=self.dtype,
-            name="patch_embed",
-        )(x.astype(self.dtype))
-        x = x.reshape(B, -1, self.width)  # (B, H/p*W/p, width)
+        # Patchify as reshape + matmul (space-to-depth): equivalent to the
+        # stride-p conv but avoids XLA's small-input-channel conv path —
+        # C_in=3 convs waste most MXU lanes on TPU.
+        gh, gw = H // p, W // p
+        patches = (
+            x.astype(self.dtype)
+            .reshape(B, gh, p, gw, p, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, gh * gw, p * p * C)
+        )
+        x = nn.Dense(self.width, dtype=self.dtype, name="patch_embed")(patches)
         n_patches = x.shape[1]
 
         cls = self.param(

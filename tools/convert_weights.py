@@ -40,12 +40,17 @@ def _t(x):
 
 
 def convert_vit(sd: Dict, prefix: str, width: int = 768, heads: int = 12):
-    """timm ViT-B/16 state dict → flax VisionTransformer params."""
-    hd = width // heads
+    """timm ViT-B/16 state dict → flax VisionTransformer params.
+
+    Our patch embed is a Dense over (p, p, C)-flattened patches; the conv
+    kernel (O, I, kh, kw) reshapes to (kh*kw*I, O). Our attention uses a
+    fused qkv Dense, which maps 1:1 from timm's fused qkv."""
     out = {}
-    out["visual/patch_embed/kernel"] = _t(
-        sd[f"{prefix}patch_embed.proj.weight"]
-    ).transpose(2, 3, 1, 0)
+    out["visual/patch_embed/kernel"] = (
+        _t(sd[f"{prefix}patch_embed.proj.weight"])
+        .transpose(2, 3, 1, 0)
+        .reshape(-1, width)
+    )
     out["visual/patch_embed/bias"] = _t(sd[f"{prefix}patch_embed.proj.bias"])
     out["visual/cls_token"] = _t(sd[f"{prefix}cls_token"])
     out["visual/pos_embed"] = _t(sd[f"{prefix}pos_embed"])
@@ -55,17 +60,9 @@ def convert_vit(sd: Dict, prefix: str, width: int = 768, heads: int = 12):
         o = f"visual/block{n}/"
         out[o + "norm1/scale"] = _t(sd[b + "norm1.weight"])
         out[o + "norm1/bias"] = _t(sd[b + "norm1.bias"])
-        qkv_w = _t(sd[b + "attn.qkv.weight"])  # (3w, w)
-        qkv_b = _t(sd[b + "attn.qkv.bias"])
-        for i, nm in enumerate(["query", "key", "value"]):
-            w = qkv_w[i * width:(i + 1) * width].T  # (in, out)
-            out[o + f"attn/{nm}/kernel"] = w.reshape(width, heads, hd)
-            out[o + f"attn/{nm}/bias"] = qkv_b[i * width:(i + 1) * width].reshape(
-                heads, hd
-            )
-        out[o + "attn/out/kernel"] = (
-            _t(sd[b + "attn.proj.weight"]).T.reshape(heads, hd, width)
-        )
+        out[o + "attn/qkv/kernel"] = _t(sd[b + "attn.qkv.weight"]).T
+        out[o + "attn/qkv/bias"] = _t(sd[b + "attn.qkv.bias"])
+        out[o + "attn/out/kernel"] = _t(sd[b + "attn.proj.weight"]).T
         out[o + "attn/out/bias"] = _t(sd[b + "attn.proj.bias"])
         out[o + "norm2/scale"] = _t(sd[b + "norm2.weight"])
         out[o + "norm2/bias"] = _t(sd[b + "norm2.bias"])
@@ -97,15 +94,17 @@ def convert_bert(sd: Dict, prefix: str, width: int = 768, heads: int = 12):
     while f"{prefix}encoder.layer.{n}.attention.self.query.weight" in sd:
         b = f"{prefix}encoder.layer.{n}."
         o = f"text/block{n}/"
-        for nm in ["query", "key", "value"]:
-            w = _t(sd[b + f"attention.self.{nm}.weight"]).T
-            out[o + f"attn/{nm}/kernel"] = w.reshape(width, heads, hd)
-            out[o + f"attn/{nm}/bias"] = _t(
-                sd[b + f"attention.self.{nm}.bias"]
-            ).reshape(heads, hd)
-        out[o + "attn/out/kernel"] = (
-            _t(sd[b + "attention.output.dense.weight"]).T.reshape(heads, hd, width)
+        qkv_w = np.concatenate(
+            [_t(sd[b + f"attention.self.{nm}.weight"]).T
+             for nm in ("query", "key", "value")], axis=1,
         )
+        qkv_b = np.concatenate(
+            [_t(sd[b + f"attention.self.{nm}.bias"])
+             for nm in ("query", "key", "value")], axis=0,
+        )
+        out[o + "attn/qkv/kernel"] = qkv_w
+        out[o + "attn/qkv/bias"] = qkv_b
+        out[o + "attn/out/kernel"] = _t(sd[b + "attention.output.dense.weight"]).T
         out[o + "attn/out/bias"] = _t(sd[b + "attention.output.dense.bias"])
         out[o + "ln_attn/scale"] = _t(sd[b + "attention.output.LayerNorm.weight"])
         out[o + "ln_attn/bias"] = _t(sd[b + "attention.output.LayerNorm.bias"])
