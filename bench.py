@@ -26,7 +26,7 @@ A100_BASELINE_IMG_S = 350.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
-STEPS = int(os.environ.get("BENCH_STEPS", 10))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))  # amortizes the ~30ms tunnel fetch
 MODEL = os.environ.get("BENCH_MODEL", "biomedclip")  # or "medmamba"
 
 

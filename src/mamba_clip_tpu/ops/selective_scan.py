@@ -206,7 +206,7 @@ def _bwd_kernel(
 #   A_t     : (G, NP, DP)    D,bias : (G, 1, DP)
 # ---------------------------------------------------------------------------
 
-_CHUNK = 64
+_CHUNK = 128  # log2(128)=7 doubling passes per chunk; VMEM ~6MB of scan state
 _LANE = 128
 
 
