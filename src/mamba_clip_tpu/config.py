@@ -40,6 +40,7 @@ class Args:
     workers: int = 4
     synthetic_data: bool = False  # NEW: ISIC-shaped synthetic data (tests/bench)
     on_device_preprocess: bool = True  # NEW: fused TPU-side augment/normalize
+    cache_staging: Optional[str] = None  # NEW: dir for decoded-image memmap cache
 
     # -- run placement / logging --------------------------------------------
     device: str = "auto"

@@ -30,6 +30,50 @@ import pandas as pd
 from .report_gen import generate_report
 
 
+class StagingCache:
+    """Disk memmap of decoded uint8 staging squares.
+
+    The reference re-decodes every JPEG every epoch (torchvision transform
+    pipeline, reference: data.py:297-314). On a TPU VM the host CPU is the
+    bottleneck, so after the first epoch the decoded staging array is
+    served from a numpy memmap (~196KB/image at 256px). Thread-safe for
+    the loader's pool: items are written at disjoint indices and the
+    done-bitmap is flipped only after the row is written.
+    """
+
+    def __init__(self, cache_dir: str, name: str, n: int, staging: int):
+        os.makedirs(cache_dir, exist_ok=True)
+        data_path = os.path.join(cache_dir, f"{name}_{staging}.npy")
+        done_path = os.path.join(cache_dir, f"{name}_{staging}_done.npy")
+        shape = (n, staging, staging, 3)
+        if os.path.exists(data_path) and os.path.exists(done_path):
+            self.data = np.lib.format.open_memmap(data_path, mode="r+")
+            self.done = np.lib.format.open_memmap(done_path, mode="r+")
+            if self.data.shape != shape or self.done.shape != (n,):
+                self.data = np.lib.format.open_memmap(
+                    data_path, mode="w+", dtype=np.uint8, shape=shape
+                )
+                self.done = np.lib.format.open_memmap(
+                    done_path, mode="w+", dtype=np.uint8, shape=(n,)
+                )
+        else:
+            self.data = np.lib.format.open_memmap(
+                data_path, mode="w+", dtype=np.uint8, shape=shape
+            )
+            self.done = np.lib.format.open_memmap(
+                done_path, mode="w+", dtype=np.uint8, shape=(n,)
+            )
+
+    def get(self, idx: int):
+        if self.done[idx]:
+            return np.asarray(self.data[idx])
+        return None
+
+    def put(self, idx: int, arr: np.ndarray) -> None:
+        self.data[idx] = arr
+        self.done[idx] = 1
+
+
 def _decode_to_square(img, staging: int) -> np.ndarray:
     """PIL image → RGB uint8 (staging, staging, 3): keep-ratio resize of the
     shorter side then center crop."""
@@ -59,6 +103,7 @@ class IsicChallengeDataset:
         include_target: bool = False,
         small_test: bool = False,
         seed: int = 0,
+        cache_dir: Optional[str] = None,
     ):
         self.data_path = data_path
         self.is_hdf5 = str(data_path).endswith((".h5", ".hdf5"))
@@ -84,6 +129,16 @@ class IsicChallengeDataset:
         self.seed = seed
         self.epoch = 0
         self._h5 = None
+        self.cache = (
+            StagingCache(
+                cache_dir,
+                f"{'train' if is_train else 'eval'}_{len(self.ids)}",
+                len(self.ids),
+                staging_size,
+            )
+            if cache_dir
+            else None
+        )
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -98,7 +153,11 @@ class IsicChallengeDataset:
             self._h5 = h5py.File(self.data_path, "r", libver="latest", swmr=True)
         return self._h5
 
-    def _load_image(self, isic_id: str) -> np.ndarray:
+    def _load_image(self, isic_id: str, idx: Optional[int] = None) -> np.ndarray:
+        if self.cache is not None and idx is not None:
+            hit = self.cache.get(idx)
+            if hit is not None:
+                return hit
         if self.is_hdf5:
             blob = bytes(self._h5_file()[isic_id][()])
         else:
@@ -108,17 +167,19 @@ class IsicChallengeDataset:
         from . import fastimage
 
         out = fastimage.decode_resize(blob, self.staging_size)
-        if out is not None:
-            return out
-        from PIL import Image
+        if out is None:
+            from PIL import Image
 
-        return _decode_to_square(Image.open(io.BytesIO(blob)), self.staging_size)
+            out = _decode_to_square(Image.open(io.BytesIO(blob)), self.staging_size)
+        if self.cache is not None and idx is not None:
+            self.cache.put(idx, out)
+        return out
 
     def __getitem__(self, idx: int) -> dict:
         isic_id = self.ids[idx]
         row = self.meta.loc[isic_id]
         rng = np.random.default_rng((self.seed, self.epoch, idx))
-        image = self._load_image(isic_id)
+        image = self._load_image(isic_id, idx)
         out = {"image": image}
         if self.tokenizer is not None:
             text = generate_report(

@@ -230,6 +230,7 @@ def get_data(
             ds = IsicChallengeDataset(
                 path, meta, tokenizer=tokenizer, staging_size=staging_size,
                 is_train=is_train, small_test=args.small_test, seed=args.seed,
+                cache_dir=getattr(args, "cache_staging", None),
             )
         loader = BatchLoader(
             ds,

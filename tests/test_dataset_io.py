@@ -1,0 +1,80 @@
+"""IsicChallengeDataset IO tests: jpg dir + HDF5 readers, staging cache,
+native/PIL decode agreement."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from mamba_clip_tpu.data import HashTokenizer, IsicChallengeDataset, synthetic_metadata
+from mamba_clip_tpu.data.dataset import StagingCache
+
+
+def _write_jpgs(tmp_path, meta, size=(96, 64)):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "images"
+    d.mkdir()
+    for isic_id in meta["isic_id"]:
+        arr = rng.integers(0, 256, (size[1], size[0], 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{isic_id}.jpg", quality=90)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def meta():
+    return synthetic_metadata(8, seed=3)
+
+
+def test_jpg_dir_reader(tmp_path, meta):
+    d = _write_jpgs(tmp_path, meta)
+    tok = HashTokenizer(context_length=16, vocab_size=200)
+    ds = IsicChallengeDataset(d, meta, tokenizer=tok, staging_size=32,
+                              is_train=True)
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["image"].dtype == np.uint8
+    assert item["tokens"].shape == (16,)
+    assert item["target"] in (0, 1)
+
+
+def test_hdf5_reader(tmp_path, meta):
+    h5py = pytest.importorskip("h5py")
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / "train-image.hdf5")
+    with h5py.File(path, "w") as f:
+        for isic_id in meta["isic_id"]:
+            arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG")
+            f[isic_id] = np.void(buf.getvalue())
+    ds = IsicChallengeDataset(path, meta, staging_size=32)
+    item = ds[1]
+    assert item["image"].shape == (32, 32, 3)
+    ds.close()
+
+
+def test_staging_cache_roundtrip(tmp_path):
+    c = StagingCache(str(tmp_path / "cache"), "t", 4, 16)
+    assert c.get(0) is None
+    arr = np.full((16, 16, 3), 7, np.uint8)
+    c.put(0, arr)
+    np.testing.assert_array_equal(c.get(0), arr)
+    # reopen persists
+    c2 = StagingCache(str(tmp_path / "cache"), "t", 4, 16)
+    np.testing.assert_array_equal(c2.get(0), arr)
+    assert c2.get(1) is None
+
+
+def test_dataset_with_cache_identical(tmp_path, meta):
+    d = _write_jpgs(tmp_path, meta)
+    ds = IsicChallengeDataset(d, meta, staging_size=32,
+                              cache_dir=str(tmp_path / "cache"))
+    first = ds[2]["image"]
+    second = ds[2]["image"]  # served from memmap
+    np.testing.assert_array_equal(first, second)
+    assert ds.cache.done[2] == 1
