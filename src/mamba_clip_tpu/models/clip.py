@@ -46,7 +46,7 @@ class VssmTower(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        feats = self.vssm.forward_features(x, deterministic)
+        feats = self.vssm(x, deterministic)  # num_classes=0 → pooled features
         return nn.Dense(
             self.embed_dim, use_bias=False, dtype=jnp.float32, name="proj"
         )(feats.astype(jnp.float32))

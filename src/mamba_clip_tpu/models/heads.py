@@ -92,14 +92,14 @@ class MambaVisionClassifier(nn.Module):
     (reference: model.py:1208-1254; feature_dim = dims[-1] mirrors
     ``config.dim * 2**(len(depths)-1)``)."""
 
-    backbone: VSSM
+    backbone: VSSM  # construct with num_classes=0 (features mode)
     num_classes: int = 2
     dropout: float = 0.1
     freeze_backbone: bool = False
 
     @nn.compact
     def __call__(self, image, text=None, deterministic: bool = True):
-        feats = self.backbone.forward_features(image, deterministic)
+        feats = self.backbone(image, deterministic)
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         feats = nn.Dropout(self.dropout)(

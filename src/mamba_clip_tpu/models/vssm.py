@@ -449,22 +449,17 @@ class VSSM(nn.Module):
     def num_features(self) -> int:
         return self.dims[-1]
 
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        feats = self.forward_features(x, deterministic)
-        head = nn.Dense(
-            self.num_classes, dtype=jnp.float32,
-            kernel_init=trunc_normal_02, name="head",
-        )
-        return head(feats.astype(jnp.float32))
-
     @nn.nowrap
     def _dpr(self):
         total = sum(self.depths)
         return [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
 
-    def forward_features(self, x, deterministic: bool = True):
-        """Backbone → pooled feature vector (for CLIP-tower use)."""
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """Backbone → pooled features → linear head. With num_classes == 0
+        the head is identity and pooled features are returned (reference:
+        model.py:941-945 uses nn.Identity), which is the CLIP-tower /
+        MambaVision-backbone mode."""
         x = PatchEmbed2D(
             patch_size=self.patch_size, embed_dim=self.dims[0],
             patch_norm=self.patch_norm, dtype=self.dtype, name="patch_embed",
@@ -487,7 +482,13 @@ class VSSM(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 name=f"layer{i}",
             )(x, deterministic)
-        return jnp.mean(x, axis=(1, 2))  # (B, num_features)
+        feats = jnp.mean(x, axis=(1, 2))  # (B, num_features)
+        if self.num_classes > 0:
+            return nn.Dense(
+                self.num_classes, dtype=jnp.float32,
+                kernel_init=trunc_normal_02, name="head",
+            )(feats.astype(jnp.float32))
+        return feats
 
 
 def medmamba(num_classes: int = 2, **kw) -> VSSM:
