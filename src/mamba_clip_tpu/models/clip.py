@@ -116,13 +116,6 @@ def clamp_logit_scale(params):
     """In-step clamp of the log logit scale to [0, ln 100]
     (reference: train.py:312-314)."""
 
-    def fix(path, x):
-        if path and path[-1] == "logit_scale":
-            return jnp.clip(x, 0.0, LOGIT_SCALE_MAX)
-        return x
-
-    flat = jax.tree_util.tree_flatten_with_path(params)
-    # simpler: map over dict structure
     def walk(tree):
         if isinstance(tree, dict):
             return {

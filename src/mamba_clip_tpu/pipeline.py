@@ -264,6 +264,12 @@ def step(
     results = ResultsWriter(os.path.join(run.checkpoint_path, "results.jsonl")) \
         if is_master(run) else None
 
+    n_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+    if args.batch_size % n_shards:
+        raise ValueError(
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"{n_shards}-way data sharding of the device mesh"
+        )
     in_shard = data_sharding(mesh)
 
     def put(it):

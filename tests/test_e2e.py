@@ -87,6 +87,42 @@ def test_two_stage_pipeline(tiny_build, tmp_path):
     assert 0.0 <= m2["partial_auc"] <= 0.2
 
 
+def test_real_isic_files_pipeline(tiny_build, tmp_path):
+    """Full pipeline over on-disk ISIC-format data: train-metadata.csv +
+    train-image.hdf5 of JPEG blobs, with --undersample — the intended
+    get_metadata → undersample_data → get_data path (SURVEY §2.12.1)."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    h5py = _pytest.importorskip("h5py")
+    from PIL import Image
+
+    from mamba_clip_tpu.data import synthetic_metadata
+
+    P = tiny_build
+    data_dir = tmp_path / "isic"
+    data_dir.mkdir()
+    meta = synthetic_metadata(48, seed=5)
+    meta.to_csv(data_dir / "train-metadata.csv", index=False)
+    rng = np.random.default_rng(0)
+    with h5py.File(data_dir / "train-image.hdf5", "w") as f:
+        for isic_id in meta["isic_id"]:
+            arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG")
+            f[isic_id] = np.void(buf.getvalue())
+
+    args = _args(
+        tmp_path, name="e2e-files", stage=1, synthetic_data=False,
+        data_path=str(data_dir) + "/", undersample=30, batch_size=8,
+        cache_staging=str(tmp_path / "stage_cache"),
+    )
+    m = P.pipeline(args)
+    assert m and np.isfinite(m["val_loss"])
+
+
 def test_results_jsonl_written(tiny_build, tmp_path):
     P = tiny_build
     args = _args(tmp_path, name="e2e-jsonl", stage=1)
