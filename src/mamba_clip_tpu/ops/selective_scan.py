@@ -61,28 +61,95 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _doubling_prefix(alpha, beta, T: int):
+def _doubling_prefix(alpha, beta, T: int, axis: int = 0):
     """Inclusive prefix scan of pairs under (a1,b1)∘(a2,b2)=(a1a2, a2b1+b2)."""
+
+    def take(x, sl):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = sl
+        return x[tuple(idx)]
+
     s = 1
     while s < T:
-        sa = jnp.concatenate([jnp.ones_like(alpha[:s]), alpha[:-s]], axis=0)
-        sb = jnp.concatenate([jnp.zeros_like(beta[:s]), beta[:-s]], axis=0)
+        sa = jnp.concatenate(
+            [jnp.ones_like(take(alpha, slice(0, s))), take(alpha, slice(0, T - s))],
+            axis=axis,
+        )
+        sb = jnp.concatenate(
+            [jnp.zeros_like(take(beta, slice(0, s))), take(beta, slice(0, T - s))],
+            axis=axis,
+        )
         beta = beta + alpha * sb
         alpha = alpha * sa
         s *= 2
     return alpha, beta
 
 
-def _doubling_suffix(alpha, beta, T: int):
+def _doubling_suffix(alpha, beta, T: int, axis: int = 0):
     """Inclusive suffix scan: beta_t = sum_{r>=t} (prod_{t<=q<r} a_q) b_r."""
+
+    def take(x, sl):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = sl
+        return x[tuple(idx)]
+
     s = 1
     while s < T:
-        sa = jnp.concatenate([alpha[s:], jnp.ones_like(alpha[:s])], axis=0)
-        sb = jnp.concatenate([beta[s:], jnp.zeros_like(beta[:s])], axis=0)
+        sa = jnp.concatenate(
+            [take(alpha, slice(s, T)), jnp.ones_like(take(alpha, slice(0, s)))],
+            axis=axis,
+        )
+        sb = jnp.concatenate(
+            [take(beta, slice(s, T)), jnp.zeros_like(take(beta, slice(0, s)))],
+            axis=axis,
+        )
         beta = beta + alpha * sb
         alpha = alpha * sa
         s *= 2
     return alpha, beta
+
+
+_SUB = 8  # subchunk length for the two-level scan
+
+
+def _chunk_prefix_h(a, b, h_in, T: int):
+    """h_t for t in [0, T): the prefix combination of (a, b) seeded with
+    h_in. Two-level work-efficient form: h_in folds into b[0] (so no
+    global-alpha pass is needed), subchunks of length _SUB are scanned by
+    doubling, subchunk totals are scanned, and the exclusive totals are
+    broadcast back."""
+    b = jnp.concatenate([(b[0] + a[0] * h_in)[None], b[1:]], axis=0)
+    if T < 2 * _SUB or T % _SUB:
+        _, beta = _doubling_prefix(a, b, T)
+        return beta
+    S, T2 = T // _SUB, _SUB
+    rest = a.shape[1:]
+    ar = a.reshape(S, T2, *rest)
+    br = b.reshape(S, T2, *rest)
+    alpha, beta = _doubling_prefix(ar, br, T2, axis=1)
+    # exclusive prefix over subchunk totals
+    a2, b2 = _doubling_prefix(alpha[:, -1], beta[:, -1], S)
+    b_prev = jnp.concatenate([jnp.zeros_like(b2[:1]), b2[:-1]], axis=0)
+    h = beta + alpha * b_prev[:, None]
+    return h.reshape(T, *rest)
+
+
+def _chunk_suffix_g(a_next, c, m, T: int):
+    """g_t = c_t + ã_t (c_{t+1} + ã_{t+1} (... + ã_{T-1} m)), the reverse
+    (gradient) recurrence; m folds into c[T-1] (ã_{T-1} == 1)."""
+    c = jnp.concatenate([c[: T - 1], (c[T - 1] + m)[None]], axis=0)
+    if T < 2 * _SUB or T % _SUB:
+        _, beta = _doubling_suffix(a_next, c, T)
+        return beta
+    S, T2 = T // _SUB, _SUB
+    rest = c.shape[1:]
+    ar = a_next.reshape(S, T2, *rest)
+    cr = c.reshape(S, T2, *rest)
+    alpha, beta = _doubling_suffix(ar, cr, T2, axis=1)
+    a2, b2 = _doubling_suffix(alpha[:, 0], beta[:, 0], S)
+    b_next = jnp.concatenate([b2[1:], jnp.zeros_like(b2[:1])], axis=0)
+    g = beta + alpha * b_next[:, None]
+    return g.reshape(T, *rest)
 
 
 # ---------------------------------------------------------------------------
@@ -123,8 +190,7 @@ def _fwd_kernel(
     a = jnp.exp(dt[:, None, :] * Arow[None])           # (T, N, DT)
     b = Bm[:, :, None] * du[:, None, :]                # (T, N, DT)
 
-    alpha, beta = _doubling_prefix(a, b, T)
-    h = beta + alpha * h_in[None]                      # (T, N, DT)
+    h = _chunk_prefix_h(a, b, h_in, T)                 # (T, N, DT)
 
     y = jnp.sum(h * Cm[:, :, None], axis=1)            # (T, DT)
     y_ref[0] = y + u * D_ref[0]
@@ -171,15 +237,13 @@ def _bwd_kernel(
     du_ = dt * u
     a = jnp.exp(dt[:, None, :] * Arow[None])
     b = Bm[:, :, None] * du_[:, None, :]
-    alpha, beta = _doubling_prefix(a, b, T)
-    h = beta + alpha * h_in[None]
+    h = _chunk_prefix_h(a, b, h_in, T)
     h_prev = jnp.concatenate([h_in[None], h[: T - 1]], axis=0)
 
     # Reverse recurrence: g_t = C_t dy_t + a_{t+1} g_{t+1}.
     c = Cm[:, :, None] * dy[:, None, :]                   # (T, N, DT)
     a_next = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
-    alpha_s, beta_s = _doubling_suffix(a_next, c, T)
-    g = beta_s + alpha_s * g_carry[...][None]             # (T, N, DT)
+    g = _chunk_suffix_g(a_next, c, g_carry[...], T)       # (T, N, DT)
     g_carry[...] = a[0] * g[0]
 
     dC = jnp.sum(dy[:, None, :] * h, axis=2)              # (T, N)
