@@ -128,7 +128,7 @@ def _chunk_prefix_h(a, b, h_in, T: int):
     br = b.reshape(S, T2, *rest)
     alpha, beta = _doubling_prefix(ar, br, T2, axis=1)
     # exclusive prefix over subchunk totals
-    a2, b2 = _doubling_prefix(alpha[:, -1], beta[:, -1], S)
+    a2, b2 = _doubling_prefix(alpha[:, T2 - 1], beta[:, T2 - 1], S)
     b_prev = jnp.concatenate([jnp.zeros_like(b2[:1]), b2[:-1]], axis=0)
     h = beta + alpha * b_prev[:, None]
     return h.reshape(T, *rest)
