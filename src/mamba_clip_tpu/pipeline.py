@@ -108,7 +108,36 @@ def setup_paths(args: Args, run: RunState) -> RunState:
         if run.tensorboard:
             os.makedirs(run.tensorboard_path, exist_ok=True)
         args.dump(os.path.join(log_base, "params.txt"))
+    if args.log_local:
+        # per-rank log file (reference: logger_setup per-rank file redirect,
+        # utils/logging.py:440-491)
+        logger_setup(
+            log_file=os.path.join(log_base, f"out-{run.rank}.log"),
+            rank=run.rank,
+        )
     return run
+
+
+def parse_aug_cfg(items) -> dict:
+    """--aug-cfg 'scale=0.4,1.0' 'hflip=0.3' → dict (reference: open_clip
+    aug_cfg k=v list, cli --aug-cfg)."""
+    out = {}
+    for item in items or []:
+        if "=" not in str(item):
+            continue
+        k, v = str(item).split("=", 1)
+        parts = v.split(",")
+
+        def conv(s):
+            try:
+                return float(s) if "." in s or "e" in s.lower() else int(s)
+            except ValueError:
+                return s
+
+        out[k.strip()] = conv(parts[0]) if len(parts) == 1 else tuple(
+            conv(p) for p in parts
+        )
+    return out
 
 
 def setup_train(args: Args, run: RunState, checkpoint_prefix: str = "") -> RunState:
@@ -383,8 +412,13 @@ def pipeline(args: Args):
     from .data.preprocess_cfg import get_transform_config
 
     image_size = (args.force_image_size or [224])[0]
-    tcfg_train = get_transform_config(None, image_size, is_train=True)
-    tcfg_val = get_transform_config(None, image_size, is_train=False)
+    aug = parse_aug_cfg(args.aug_cfg)
+    tcfg_train = get_transform_config(
+        aug, image_size, is_train=True, mean=args.image_mean, std=args.image_std
+    )
+    tcfg_val = get_transform_config(
+        None, image_size, is_train=False, mean=args.image_mean, std=args.image_std
+    )
 
     metrics = None
     stage1_name = args.model_stage_1 or args.model or "biomedclip"
