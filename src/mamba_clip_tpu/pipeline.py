@@ -108,6 +108,15 @@ def setup_paths(args: Args, run: RunState) -> RunState:
         if run.tensorboard:
             os.makedirs(run.tensorboard_path, exist_ok=True)
         args.dump(os.path.join(log_base, "params.txt"))
+    if is_master(run) and args.copy_codebase:
+        # snapshot the package source into the run dir (reference:
+        # --copy-codebase, pipeline.py copy_codebase path)
+        import shutil
+
+        src_dir = os.path.dirname(os.path.abspath(__file__))
+        dst = os.path.join(log_base, "code", "mamba_clip_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(src_dir, dst)
     if args.log_local:
         # per-rank log file (reference: logger_setup per-rank file redirect,
         # utils/logging.py:440-491)
@@ -405,6 +414,11 @@ def _build_data(args: Args, run: RunState, tokenizer, tcfg_train, tcfg_val):
 def pipeline(args: Args):
     """Two-stage dispatch (reference: pipeline.py:530-639)."""
     run, mesh = init_run(args)
+    if args.torchscript or args.torchcompile:
+        logger.info(
+            "--torchscript/--torchcompile accepted for CLI parity and "
+            "ignored: the whole train step is XLA-jit-compiled"
+        )
     args = args.replace(lr=args.lr * run.world_size)  # pipeline.py:532
     policy = get_policy(args.precision)
     rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), run.rank)
