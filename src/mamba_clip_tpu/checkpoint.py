@@ -41,8 +41,13 @@ def natural_key(s: str):
     return [int(t) if t.isdigit() else t.lower() for t in re.split(r"(\d+)", s)]
 
 
-def get_latest_checkpoint(path: str, remote: bool = False) -> Optional[str]:
-    """Newest epoch_<N> checkpoint under `path` (local or fsspec remote)."""
+def get_latest_checkpoint(
+    path: str, remote: bool = False, prefix: str = ""
+) -> Optional[str]:
+    """Newest ``[<prefix>]epoch_<N>`` checkpoint under `path` (local or
+    fsspec remote). Checkpoints are written as ``stage_<S>_epoch_<N>``
+    (pipeline save_prefix), so discovery matches numbered epochs with the
+    given stage prefix and skips ``epoch_latest``."""
     names = []
     if remote:
         import fsspec
@@ -54,7 +59,10 @@ def get_latest_checkpoint(path: str, remote: bool = False) -> Optional[str]:
             return None
     elif os.path.isdir(path):
         names = os.listdir(path)
-    cands = [n for n in names if _EPOCH_RE.match(n)]
+    cands = [
+        n for n in names
+        if n.startswith(prefix) and _EPOCH_RE.search(n)
+    ]
     if not cands:
         return None
     cands.sort(key=natural_key)
@@ -117,7 +125,10 @@ def load_checkpoint(path: str, state):
         batch_stats=restored["batch_stats"],
         step=np.asarray(restored["step"], np.int32),
     )
-    start_epoch = int(restored["epoch"]) + 1
+    # stored epoch is completed_epoch (1-based); the epoch loop is 0-based,
+    # so it doubles as the next epoch index (reference: file_utils.py:83-100
+    # restores start_epoch = checkpoint["epoch"]).
+    start_epoch = int(restored["epoch"])
     return new_state, start_epoch
 
 

@@ -160,10 +160,10 @@ def setup_train(args: Args, run: RunState, checkpoint_prefix: str = "") -> RunSt
             if args.remote_sync:
                 found = get_latest_checkpoint(
                     os.path.join(args.remote_sync, run.name, "checkpoints"),
-                    remote=True,
+                    remote=True, prefix=checkpoint_prefix,
                 )
             if found is None:
-                found = get_latest_checkpoint(base)
+                found = get_latest_checkpoint(base, prefix=checkpoint_prefix)
         found = broadcast_object(found)
         run.resume_from = found
         if found:
