@@ -13,4 +13,31 @@ __version__ = "0.1.0"
 
 from .config import Args, RunState, arg_parser, parse_args
 
-__all__ = ["Args", "RunState", "arg_parser", "parse_args", "__version__"]
+__all__ = [
+    "Args", "RunState", "arg_parser", "parse_args", "__version__",
+    # lazily re-exported (see __getattr__): pipeline, models, losses, ...
+]
+
+_LAZY = {
+    "pipeline": ".pipeline",
+    "losses": ".losses",
+    "schedules": ".schedules",
+    "optim": ".optim",
+    "checkpoint": ".checkpoint",
+    "models": ".models",
+    "ops": ".ops",
+    "data": ".data",
+    "parallel": ".parallel",
+    "train": ".train",
+    "eval": ".eval",
+}
+
+
+def __getattr__(name):
+    """Lazy submodule access (keeps `import mamba_clip_tpu` light — no jax
+    import until a compute module is touched)."""
+    if name in _LAZY:
+        import importlib
+
+        return importlib.import_module(_LAZY[name], __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -202,14 +202,14 @@ class RemoteSyncThread(threading.Thread):
         self.remote_dir = remote_dir
         self.frequency = frequency
         self.protocol = protocol
-        self._stop = threading.Event()
+        self._halt = threading.Event()  # NB: Thread reserves `_stop`
 
     def run(self):
-        while not self._stop.wait(self.frequency):
+        while not self._halt.wait(self.frequency):
             remote_sync(self.local_dir, self.remote_dir, self.protocol)
 
     def stop(self):
-        self._stop.set()
+        self._halt.set()
 
 
 def start_sync_process(local_dir, remote_dir, frequency=300, protocol="fsspec"):
