@@ -69,10 +69,22 @@ def get_latest_checkpoint(
     return os.path.join(path, cands[-1])
 
 
-def _checkpointer():
-    import orbax.checkpoint as ocp
+_ckptr_singleton = None
 
-    return ocp.StandardCheckpointer()
+
+def _checkpointer():
+    global _ckptr_singleton
+    if _ckptr_singleton is None:
+        import orbax.checkpoint as ocp
+
+        _ckptr_singleton = ocp.StandardCheckpointer()
+    return _ckptr_singleton
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all async checkpoint writes have committed."""
+    if _ckptr_singleton is not None:
+        _ckptr_singleton.wait_until_finished()
 
 
 def save_checkpoint(
@@ -81,9 +93,16 @@ def save_checkpoint(
     epoch: int,
     args=None,
     name: Optional[str] = None,
+    block: bool = False,
 ) -> str:
     """Write epoch_<N> (+ epoch_latest if --save-most-recent); honor
-    save_frequency/delete-previous at the call site (pipeline)."""
+    save_frequency/delete-previous at the call site (pipeline).
+
+    Async by default: Orbax stages the arrays and commits with an atomic
+    rename in the background (replacing the reference's tmp + os.replace,
+    pipeline.py:516-523); training overlaps the write. Call
+    :func:`wait_for_checkpoints` (or pass block=True) to ensure
+    durability."""
     os.makedirs(ckpt_dir, exist_ok=True)
     tag = name or f"epoch_{epoch}"
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
@@ -95,10 +114,12 @@ def save_checkpoint(
         "epoch": epoch,
     }
     ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # one in-flight save at a time
     if os.path.exists(path):
         shutil.rmtree(path)
     ckptr.save(path, payload)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -107,8 +128,7 @@ def load_checkpoint(path: str, state):
     (state, start_epoch) (reference: file_utils.py:83-100 semantics —
     resume restores optimizer + epoch; bare params-only checkpoints load
     with strict=False equivalents)."""
-    import orbax.checkpoint as ocp
-
+    wait_for_checkpoints()
     path = os.path.abspath(path)
     template = {
         "params": jax.device_get(state.params),
@@ -135,6 +155,7 @@ def load_checkpoint(path: str, state):
 def load_params_only(path: str, params):
     """Load just the model params (stage-2 consumes stage_1_latest this way,
     reference: pipeline.py:594-606)."""
+    wait_for_checkpoints()
     ckptr = _checkpointer()
     template = {
         "params": jax.device_get(params),

@@ -383,6 +383,10 @@ def step(
             run.checkpoint_path, state, args.epochs, args,
             name=f"{save_prefix}{LATEST_CHECKPOINT_NAME}",
         )
+    if is_master(run):
+        from .checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
     if run.wandb and is_master(run):
         from .utils import wandb_utils
 

@@ -10,6 +10,7 @@ import pytest
 
 from mamba_clip_tpu.checkpoint import (
     get_latest_checkpoint,
+    wait_for_checkpoints,
     load_checkpoint,
     load_params_only,
     natural_key,
@@ -28,6 +29,7 @@ def test_roundtrip(tmp_path):
     state, tx = _tiny_state()
     state = state.replace(step=jnp.int32(7))
     path = save_checkpoint(str(tmp_path), state, epoch=3, name="stage_1_epoch_3")
+    wait_for_checkpoints()  # saves are async by default
     assert os.path.isdir(path)
 
     fresh, _ = _tiny_state()

@@ -94,5 +94,29 @@ def test_fp32_output_contract(rng):
     assert y.dtype == jnp.float32
 
 
+def test_multi_dtile_and_padding(rng):
+    """DG > 128 exercises the multi-channel-tile grid path (nd > 1), and
+    L=300 exercises chunk padding; backward dB/dC must sum correctly
+    across channel tiles."""
+    args = _inputs(rng, Bsz=1, G=1, L=300, DG=160, N=4)
+    y_ref = selective_scan_tm(*args, True, impl="xla")
+    y_pal = selective_scan_tm(*args, True, impl="pallas_interpret")
+    np.testing.assert_allclose(y_pal, y_ref, atol=3e-5, rtol=3e-5)
+
+    def loss(impl):
+        def f(*a):
+            return jnp.sum(jnp.sin(selective_scan_tm(*a, True, impl=impl)))
+        return f
+
+    g_ref = jax.grad(loss("xla"), argnums=(3, 4))(*args)   # dB, dC
+    g_pal = jax.grad(loss("pallas_interpret"), argnums=(3, 4))(*args)
+    for name, a, b in zip(["dB", "dC"], g_ref, g_pal):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-4,
+            err_msg=name,
+        )
+
+
 def test_flops_model():
     assert selective_scan_flops(2, 8, 16, 4) == 9 * 2 * 16 * 8 * 4 + 2 * 2 * 8 * 16
