@@ -129,6 +129,7 @@ class IsicChallengeDataset:
         self.seed = seed
         self.epoch = 0
         self._h5 = None
+        self._token_memo = {} if not is_train else None  # eval text is deterministic
         self.cache = (
             StagingCache(
                 cache_dir,
@@ -182,15 +183,20 @@ class IsicChallengeDataset:
         image = self._load_image(isic_id, idx)
         out = {"image": image}
         if self.tokenizer is not None:
-            text = generate_report(
-                row,
-                is_eval=not self.is_train,
-                shuffle=self.is_train,
-                dropout=0.1 if self.is_train else 0.0,
-                include_target=self.include_target,
-                rng=rng,
-            )
-            out["tokens"] = self.tokenizer(text)[0]
+            if self._token_memo is not None and idx in self._token_memo:
+                out["tokens"] = self._token_memo[idx]
+            else:
+                text = generate_report(
+                    row,
+                    is_eval=not self.is_train,
+                    shuffle=self.is_train,
+                    dropout=0.1 if self.is_train else 0.0,
+                    include_target=self.include_target,
+                    rng=rng,
+                )
+                out["tokens"] = self.tokenizer(text)[0]
+                if self._token_memo is not None:
+                    self._token_memo[idx] = out["tokens"]
         if self.targets is not None:
             out["target"] = np.int32(self.targets[idx])
         return out

@@ -59,13 +59,22 @@ class _ColorFormatter(logging.Formatter):
         return out
 
 
+def _env_verbosity() -> str:
+    # MAMBA_CLIP_VERBOSITY preferred; GOML_VERBOSITY kept as the reference's
+    # env name (reference: utils/logging.py:59-73).
+    return (
+        os.environ.get("MAMBA_CLIP_VERBOSITY")
+        or os.environ.get("GOML_VERBOSITY")
+        or ""
+    ).lower()
+
+
 def _detail_mode() -> bool:
-    return os.environ.get("MAMBA_CLIP_VERBOSITY", "").lower() == "detail"
+    return _env_verbosity() == "detail"
 
 
 def _env_level() -> int:
-    raw = os.environ.get("MAMBA_CLIP_VERBOSITY", "").lower()
-    return _LEVELS.get(raw, logging.INFO)
+    return _LEVELS.get(_env_verbosity(), logging.INFO)
 
 
 def _rank_prefix() -> str:
