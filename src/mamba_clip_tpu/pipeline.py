@@ -440,6 +440,9 @@ def pipeline(args: Args):
 
     metrics = None
     stage1_name = args.model_stage_1 or args.model or "biomedclip"
+    # experiment names carry the resolved model so the stage-2 latest-run
+    # lookup (create_log_path(latest=True)) can find stage-1 runs
+    args = args.replace(model=args.model or stage1_name)
     is_medmamba_cls = stage1_name == "medmamba" and args.stage == 1
 
     if args.stage == 1:

@@ -399,8 +399,12 @@ def train_one_epoch(
     tracing = False
     for i, batch in enumerate(it):
         if trace_dir and i == 3 and not tracing:
-            jax.profiler.start_trace(trace_dir)
-            tracing = True
+            try:
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
+            except Exception as e:  # backend without profiler support
+                logger.warning(f"--trace: profiler unavailable ({e})")
+                trace_dir = None
         data_time_m.update(time.perf_counter() - end)
         state, metrics = step_fn(state, batch, rng)
         if tracing and i == 8:
