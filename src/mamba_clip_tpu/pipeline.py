@@ -498,6 +498,15 @@ def pipeline(args: Args):
             use_inner_prod=args.use_inner_prod,
         )
         data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
+        # Locate the stage-1 run BEFORE minting this run's own dir — the
+        # reference looks up first too (pipeline.py:594-602), otherwise the
+        # fresh stage-2 dir shadows it in the latest-run scan.
+        s1_ckpt = None
+        if not args.use_original_model:
+            s1_name = create_log_path(args.replace(model=stage1_name), latest=True)
+            s1_ckpt = os.path.join(
+                args.logs, s1_name, "checkpoints", f"stage_1_{LATEST_CHECKPOINT_NAME}"
+            )
         run = setup_paths(args, run)
         run = setup_train(args, run, checkpoint_prefix=f"stage_{args.stage}_")
 
@@ -508,11 +517,8 @@ def pipeline(args: Args):
         variables = model.init({"params": rng, "dropout": rng}, img, tok)
         init_params = dict(variables["params"])
         init_stats = dict(variables.get("batch_stats", {}))
-        if not args.use_original_model:
-            s1_name = create_log_path(args.replace(model=stage1_name), latest=True)
-            ckpt = os.path.join(
-                args.logs, s1_name, "checkpoints", f"stage_1_{LATEST_CHECKPOINT_NAME}"
-            )
+        if s1_ckpt is not None:
+            ckpt = s1_ckpt
             # ClipClassifier nests the CLIP under scope "clip"
             clip_template = init_params["clip"]
             loaded, stats = load_params_only_into(ckpt, clip_template)
