@@ -123,6 +123,41 @@ def test_real_isic_files_pipeline(tiny_build, tmp_path):
     assert m and np.isfinite(m["val_loss"])
 
 
+def test_is_test_eval_only(tiny_build, tmp_path):
+    """--is-test: test-metadata.csv only → no training, eval on the test
+    split (reference: data.py:449-451, pipeline eval-only branch)."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    h5py = _pytest.importorskip("h5py")
+    from PIL import Image
+
+    from mamba_clip_tpu.data import synthetic_metadata
+
+    P = tiny_build
+    data_dir = tmp_path / "isic_test"
+    data_dir.mkdir()
+    meta = synthetic_metadata(16, seed=9)
+    meta.to_csv(data_dir / "test-metadata.csv", index=False)
+    rng = np.random.default_rng(0)
+    with h5py.File(data_dir / "test-image.hdf5", "w") as f:
+        for isic_id in meta["isic_id"]:
+            arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG")
+            f[isic_id] = np.void(buf.getvalue())
+
+    args = _args(
+        tmp_path, name="e2e-istest", stage=1, synthetic_data=False,
+        data_path=str(data_dir) + "/", is_test=True, batch_size=8,
+    )
+    m = P.pipeline(args)
+    assert m and np.isfinite(m["val_loss"])
+    assert m["num_samples"] == 16  # two full batches of 8
+
+
 def test_results_jsonl_written(tiny_build, tmp_path):
     P = tiny_build
     args = _args(tmp_path, name="e2e-jsonl", stage=1)
