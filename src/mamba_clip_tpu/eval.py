@@ -16,6 +16,7 @@ accumulate on host as numpy (the sklearn ROC runs on host).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -152,6 +153,19 @@ def evaluate(
         if probs.shape[1] == 1:
             probs = np.concatenate([1 - probs, probs], axis=1)
         metrics["partial_auc"] = partial_auc(targets, probs[:, 1])
+        if split == "test" and getattr(run_state, "checkpoint_path", None):
+            # per-sample malignancy probabilities for challenge submission
+            # (the reference's --is-test mode stops at metrics; eval order
+            # is sequential, so ids align with the probability rows)
+            ids = list(getattr(loader.dataset, "ids", range(len(probs))))
+            import pandas as pd
+
+            sub = pd.DataFrame(
+                {"isic_id": ids[: len(probs)], "target": probs[:, 1]}
+            )
+            sub_path = os.path.join(run_state.checkpoint_path, "submission.csv")
+            sub.to_csv(sub_path, index=False)
+            logger.info(f"wrote {len(sub)} predictions to {sub_path}")
     metrics.update({"epoch": epoch, "num_samples": num_samples})
 
     logger.info(

@@ -533,11 +533,19 @@ def pipeline(args: Args):
             takes_text=True, class_weights=cw,
             init_params=init_params, init_batch_stats=init_stats,
         )
-        metrics, _ = step(
-            args, run, model, data, params, mesh, rng,
-            save_prefix="stage_2_", stage=2, takes_text=True,
-            class_weights=cw,
-        )
+        if "train" not in data:
+            # --is-test: eval-only on the test split, writes submission.csv
+            metrics = evaluate(
+                model, params["state"], data, params["start_epoch"], args,
+                params["policy"], tcfg_val, run_state=run, stage=2,
+                takes_text=True,
+            )
+        else:
+            metrics, _ = step(
+                args, run, model, data, params, mesh, rng,
+                save_prefix="stage_2_", stage=2, takes_text=True,
+                class_weights=cw,
+            )
     return metrics
 
 

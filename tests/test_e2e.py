@@ -157,6 +157,22 @@ def test_is_test_eval_only(tiny_build, tmp_path):
     assert m and np.isfinite(m["val_loss"])
     assert m["num_samples"] == 16  # two full batches of 8
 
+    # stage-2 inference mode: CE metrics + pAUC + submission.csv
+    args2 = _args(
+        tmp_path, name="e2e-istest-s2", stage=2, synthetic_data=False,
+        data_path=str(data_dir) + "/", is_test=True, batch_size=8,
+        use_original_model=True, num_classes=2,
+    )
+    m2 = P.pipeline(args2)
+    assert m2 and np.isfinite(m2["val_loss"])
+    sub = os.path.join(tmp_path, "e2e-istest-s2", "checkpoints", "submission.csv")
+    assert os.path.exists(sub)
+    import pandas as pd
+
+    df = pd.read_csv(sub)
+    assert len(df) == 16 and set(df.columns) == {"isic_id", "target"}
+    assert df["target"].between(0, 1).all()
+
 
 def test_results_jsonl_written(tiny_build, tmp_path):
     P = tiny_build
