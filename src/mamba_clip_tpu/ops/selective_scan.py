@@ -405,9 +405,8 @@ def _canon(u, delta, A, Bmat, Cmat, D, bias):
     """Flatten groups and pad to kernel-friendly sizes."""
     Bsz, G, L, DG = u.shape
     N = A.shape[1]
-    LP = _round_up(L, min(_CHUNK, _round_up(L, 8)))
     LP = _round_up(L, _CHUNK) if L > _CHUNK else _round_up(L, 8)
-    DP = _round_up(DG, _LANE) if DG > _LANE else _round_up(DG, _LANE)
+    DP = _round_up(DG, _LANE)
     NP = _round_up(N, 8)
     BG = Bsz * G
 

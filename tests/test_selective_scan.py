@@ -118,5 +118,30 @@ def test_multi_dtile_and_padding(rng):
         )
 
 
+def test_no_softplus_gradients(rng):
+    args = _inputs(rng, Bsz=1, G=1, L=48, DG=8, N=4)
+
+    def loss(impl):
+        def f(*a):
+            return jnp.sum(jnp.cos(selective_scan_tm(*a, False, impl=impl)))
+        return f
+
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1, 6))(*args)
+    g_pal = jax.grad(loss("pallas_interpret"), argnums=(0, 1, 6))(*args)
+    for name, a, b in zip(["du", "ddelta", "dbias"], g_ref, g_pal):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_larger_state_n32(rng):
+    args = _inputs(rng, Bsz=1, G=2, L=64, DG=16, N=32)
+    y_ref = selective_scan_tm(*args, True, impl="xla")
+    y_pal = selective_scan_tm(*args, True, impl="pallas_interpret")
+    np.testing.assert_allclose(y_pal, y_ref, atol=3e-5, rtol=3e-5)
+
+
 def test_flops_model():
     assert selective_scan_flops(2, 8, 16, 4) == 9 * 2 * 16 * 8 * 4 + 2 * 2 * 8 * 16
