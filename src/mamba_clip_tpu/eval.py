@@ -104,8 +104,12 @@ def evaluate(
     tb_writer=None,
     class_weights=None,
     takes_text: bool = True,
+    eval_step=None,
 ) -> Dict[str, float]:
-    """Master-only validation (reference: eval.py:47-178)."""
+    """Master-only validation (reference: eval.py:47-178).
+
+    Pass ``eval_step`` (from :func:`make_eval_step`) when calling in a
+    loop — otherwise a fresh jit cache entry is created per call."""
     metrics: Dict[str, float] = {}
     rank = getattr(run_state, "rank", 0) if run_state else 0
     if rank != 0:
@@ -118,7 +122,7 @@ def evaluate(
         return metrics
 
     stage = stage or args.stage
-    step = make_eval_step(
+    step = eval_step or make_eval_step(
         model, policy, tcfg, stage=stage, class_weights=class_weights,
         takes_text=takes_text,
     )

@@ -322,6 +322,14 @@ def step(
         os.path.join(run.log_path, "trace") if args.trace and is_master(run) else None
     )
 
+    from .eval import make_eval_step
+
+    eval_step = make_eval_step(
+        model, policy, tcfg_val, stage=stage,
+        class_weights=class_weights if args.class_weighted_loss else None,
+        takes_text=takes_text,
+    ) if is_master(run) else None
+
     metrics = None
     best = None
     for epoch in range(params["start_epoch"], args.epochs):
@@ -339,7 +347,7 @@ def step(
             run_state=run, stage=stage, results_writer=results,
             tb_writer=writer,
             class_weights=class_weights if args.class_weighted_loss else None,
-            takes_text=takes_text,
+            takes_text=takes_text, eval_step=eval_step,
         )
         if args.return_best and args.eval_loss and _metrics:
             better = (
