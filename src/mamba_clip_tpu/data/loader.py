@@ -104,6 +104,12 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         main_idx, mix_idx = self._indices()
         nb = self.num_batches
+        if nb == 0:
+            raise ValueError(
+                f"dataset yields 0 batches: {len(self.dataset)} samples / "
+                f"{self.world_size} hosts < batch size {self.batch_size} "
+                "(batches are fixed-shape; reduce --batch-size or add data)"
+            )
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 

@@ -153,6 +153,12 @@ class TestLoader:
         assert "mix_image" in b and b["mix_image"].shape == b["image"].shape
         assert "mix_target" in b
 
+    def test_zero_batches_raises(self):
+        ds = SyntheticIsicDataset(4, staging_size=8)
+        loader = BatchLoader(ds, batch_size=8, seed=0, workers=1)
+        with pytest.raises(ValueError, match="0 batches"):
+            next(iter(loader))
+
     def test_epochs_differ(self):
         ds = SyntheticIsicDataset(32, staging_size=8, is_train=True)
         loader = BatchLoader(ds, batch_size=8, seed=0, workers=1)
