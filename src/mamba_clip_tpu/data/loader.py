@@ -4,7 +4,10 @@ Replaces the reference's torch DataLoader + DistributedSampler stack
 (reference: src/mamba_clip/data.py:518-620 ``get_data``,
 DataInfo :183-193). Differences by design:
 
-- batches have **static shapes** (drop_last always; jit requirement);
+- train batches have **static shapes** (drop_last; jit requirement); eval
+  loaders keep ``drop_last=False`` and yield a natural-size final partial
+  batch so every sample is evaluated (reference: eval.py:47-178 covers the
+  full split) — eval jits once more for the tail shape, which is static too;
 - sharding is per-host index-space slicing (data/sampling.py), not a
   sampler object with collectives;
 - a background thread assembles batches ahead of the consumer
@@ -50,6 +53,7 @@ class BatchLoader:
         balanced_mixup: bool = False,
         prefetch_batches: int = 4,
         shuffle: bool = True,
+        drop_last: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -62,6 +66,7 @@ class BatchLoader:
         self.balanced_mixup = balanced_mixup
         self.prefetch_batches = prefetch_batches
         self.shuffle = shuffle
+        self.drop_last = drop_last
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -70,20 +75,36 @@ class BatchLoader:
             self.dataset.set_epoch(epoch)
 
     @property
+    def _per_host(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last or self.shuffle:
+            return n // self.world_size
+        # full-coverage eval sharding: the first n % world hosts carry one
+        # extra sample (np.array_split), so the union over hosts is the
+        # whole split — no sample is ever dropped
+        return n // self.world_size + (1 if self.rank < n % self.world_size else 0)
+
+    @property
     def num_batches(self) -> int:
-        per_host = len(self.dataset) // self.world_size
-        return per_host // self.batch_size
+        if self.drop_last:
+            return self._per_host // self.batch_size
+        return -(-self._per_host // self.batch_size)  # ceil
 
     @property
     def num_samples(self) -> int:
-        return self.num_batches * self.batch_size
+        if self.drop_last:
+            return self.num_batches * self.batch_size
+        return self._per_host
 
     def _indices(self):
         targets = getattr(self.dataset, "targets", None)
         n = len(self.dataset)
         if not self.shuffle:
-            per = n // self.world_size
-            base = np.arange(self.rank * per, (self.rank + 1) * per)
+            if self.drop_last:
+                per = n // self.world_size
+                base = np.arange(self.rank * per, (self.rank + 1) * per)
+            else:
+                base = np.array_split(np.arange(n), self.world_size)[self.rank]
             return base, None
         if self.balanced_mixup:
             return combo_epoch_indices(
@@ -122,6 +143,8 @@ class BatchLoader:
                     for b in range(nb):
                         if stop.is_set():
                             return
+                        # the final slice is naturally shorter when
+                        # drop_last=False (numpy slicing clamps)
                         sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
                         items = list(pool.map(fetch, main_idx[sl]))
                         batch = _stack(items)
@@ -245,10 +268,14 @@ def get_data(
             n_epochs=args.epochs,
             seed=args.seed,
             rank=rank,
-            world_size=world_size if is_train else 1,
+            # eval is sharded over hosts too (full coverage via array_split;
+            # every process enters the jitted eval step — a master-only eval
+            # would deadlock real multi-host SPMD)
+            world_size=world_size,
             workers=args.workers,
             balanced_mixup=bool(args.balanced_mixup) and is_train,
             shuffle=is_train,
+            drop_last=is_train,  # eval covers the full split
         )
         cw = (
             balanced_class_weights(ds.targets)

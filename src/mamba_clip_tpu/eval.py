@@ -106,14 +106,21 @@ def evaluate(
     takes_text: bool = True,
     eval_step=None,
 ) -> Dict[str, float]:
-    """Master-only validation (reference: eval.py:47-178).
+    """Validation over the full split (reference: eval.py:47-178).
+
+    Unlike the reference (master-only eval over process-local tensors),
+    every process participates: the eval split is sharded over hosts by the
+    loader (full coverage via array_split) and per-host results are
+    combined with ``process_allgather`` — a master-only jitted eval over
+    globally-sharded arrays would deadlock real multi-host SPMD. Metric
+    logging and file writes stay master-only.
 
     Pass ``eval_step`` (from :func:`make_eval_step`) when calling in a
     loop — otherwise a fresh jit cache entry is created per call."""
     metrics: Dict[str, float] = {}
     rank = getattr(run_state, "rank", 0) if run_state else 0
-    if rank != 0:
-        return metrics
+    world = getattr(run_state, "world_size", 1) if run_state else 1
+    master = rank == 0
     if "val" not in data and "test" not in data:
         return metrics
     if args.val_frequency and not (
@@ -144,20 +151,43 @@ def evaluate(
             all_targets.append(np.asarray(batch["target"]))
         cumulative_loss += float(loss) * bs
         num_samples += bs
-        if i % args.log_every_n_steps == 0:
+        if master and i % args.log_every_n_steps == 0:
             logger.info(
                 f"Eval Epoch: {epoch} [{num_samples} / {loader.num_samples}]\t"
                 f"Loss: {cumulative_loss / num_samples:.6f}"
             )
 
+    probs = np.concatenate(all_probs, axis=0) if all_probs else None
+    targets = np.concatenate(all_targets, axis=0) if all_targets else None
+    if world > 1:
+        # combine per-host shards: scalar sums + padded allgather (hosts
+        # may differ by one sample under array_split sharding)
+        from jax.experimental import multihost_utils as mhu
+
+        sums = np.asarray(mhu.process_allgather(
+            np.array([cumulative_loss, num_samples], np.float64)))
+        cumulative_loss = float(sums[..., 0].sum())
+        num_samples = int(sums[..., 1].sum())
+        if probs is not None:
+            counts = np.asarray(
+                mhu.process_allgather(np.array(probs.shape[0], np.int64)))
+            counts = np.atleast_1d(counts)
+            n_max = int(counts.max())
+            pad = n_max - probs.shape[0]
+            p_all = np.asarray(mhu.process_allgather(
+                np.pad(probs, ((0, pad), (0, 0)))))
+            t_all = np.asarray(mhu.process_allgather(np.pad(targets, (0, pad))))
+            probs = np.concatenate(
+                [p_all[i, : counts[i]] for i in range(len(counts))])
+            targets = np.concatenate(
+                [t_all[i, : counts[i]] for i in range(len(counts))])
+
     metrics["val_loss"] = cumulative_loss / max(num_samples, 1)
-    if all_probs:
-        probs = np.concatenate(all_probs, axis=0)
-        targets = np.concatenate(all_targets, axis=0)
+    if probs is not None:
         if probs.shape[1] == 1:
             probs = np.concatenate([1 - probs, probs], axis=1)
         metrics["partial_auc"] = partial_auc(targets, probs[:, 1])
-        if split == "test" and getattr(run_state, "checkpoint_path", None):
+        if master and split == "test" and getattr(run_state, "checkpoint_path", None):
             # per-sample malignancy probabilities for challenge submission
             # (the reference's --is-test mode stops at metrics; eval order
             # is sequential, so ids align with the probability rows)
@@ -172,6 +202,8 @@ def evaluate(
             logger.info(f"wrote {len(sub)} predictions to {sub_path}")
     metrics.update({"epoch": epoch, "num_samples": num_samples})
 
+    if not master:
+        return metrics
     logger.info(
         f"Eval Epoch: {epoch} "
         + "\t".join(f"{k}: {round(v, 4):.4f}" for k, v in metrics.items())

@@ -59,24 +59,33 @@ def world_info_from_env() -> Tuple[int, int, int]:
     return jax.process_index(), 0, jax.process_count()
 
 
+_distributed_initialized = False
+
+
 def maybe_initialize_distributed(coordinator: Optional[str] = None) -> None:
     """Multi-host DCN rendezvous. Safe no-op on single-process runs.
 
     Replaces ``torch.distributed.init_process_group``
-    (reference: dist_utils.py:58-75). Uses env (megascale/TPU pod metadata)
-    when available; explicit coordinator address otherwise.
+    (reference: dist_utils.py:58-75). The decision to initialize comes from
+    the ENVIRONMENT ONLY (JAX_NUM_PROCESSES/NPROC/JAX_COORDINATOR_ADDRESS,
+    or TPU-pod metadata that ``jax.distributed.initialize()`` discovers
+    itself) — it must run BEFORE any other jax API: querying
+    ``jax.process_count()`` first would initialize the local backend and
+    turn the rendezvous into a broken no-op, silently running N
+    independent single-process worlds. Initialization failures propagate
+    (a half-joined world must not train).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
     num_procs = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("NPROC")
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator or num_procs:
-        try:
-            jax.distributed.initialize(
-                coordinator_address=coordinator,
-                num_processes=int(num_procs) if num_procs else None,
-            )
-        except Exception:  # pragma: no cover - depends on launch env
-            pass
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(num_procs) if num_procs else None,
+        )
+    _distributed_initialized = True
 
 
 def is_master(state_or_rank) -> bool:
