@@ -172,9 +172,9 @@ def load_params_only(path: str, params):
         return restored["params"], restored.get("batch_stats", {})
 
 
-def delete_previous_checkpoint(ckpt_dir: str, epoch: int) -> None:
+def delete_previous_checkpoint(ckpt_dir: str, epoch: int, prefix: str = "") -> None:
     """--delete-previous-checkpoint (reference: pipeline.py:508-514)."""
-    prev = os.path.join(ckpt_dir, f"epoch_{epoch - 1}")
+    prev = os.path.join(ckpt_dir, f"{prefix}epoch_{epoch - 1}")
     if os.path.isdir(prev):
         shutil.rmtree(prev)
 
@@ -244,13 +244,38 @@ def start_sync_process(local_dir, remote_dir, frequency=300, protocol="fsspec"):
 # ---------------------------------------------------------------------------
 
 
-def load_torch_clip(path: str, params) -> Any:
+def load_torch_clip(path: str, params, strict: bool = True) -> Any:
     """Import a reference (open_clip BiomedCLIP) torch checkpoint into our
     ClipModel params when a converted .npz mapping is available. Conversion
     tables ship in tools/convert_weights.py; this loader only consumes the
-    resulting npz (no torch dependency on the TPU host)."""
+    resulting npz (no torch dependency on the TPU host).
+
+    Position embeddings longer than the target (BERT stores 512 positions,
+    BiomedCLIP runs context 256 — model.py:1266-1281) are truncated from the
+    front, matching HF's position_ids[:seq_len] indexing. Any template leaf
+    with no source tensor is reported; with ``strict`` (the default for
+    --pretrained runs) that is an error — silently keeping random init in a
+    "pretrained" tower would quietly destroy its quality."""
+    from .utils.logging import get_logger
+
+    logger = get_logger(__name__)
     data = np.load(path, allow_pickle=False)
     flat = dict(data.items())
+    missing, used = [], set()
+
+    def adapt(key, src, shape):
+        if tuple(src.shape) == tuple(shape):
+            return src
+        # position tables: truncate extra positions (dim -2)
+        if src.ndim == len(shape) and src.shape[-1] == shape[-1] and \
+                src.shape[-2] > shape[-2] and src.shape[:-2] == tuple(shape[:-2]):
+            return src[..., : shape[-2], :]
+        if src.size == int(np.prod(shape)):
+            return src.reshape(shape)
+        raise ValueError(
+            f"{key}: converted tensor {src.shape} incompatible with "
+            f"model param {tuple(shape)}"
+        )
 
     def fill(tree, prefix=""):
         out = {}
@@ -258,8 +283,26 @@ def load_torch_clip(path: str, params) -> Any:
             key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
             if isinstance(v, dict):
                 out[k] = fill(v, key)
+            elif key in flat:
+                used.add(key)
+                out[k] = adapt(key, flat[key], v.shape).astype(v.dtype)
             else:
-                out[k] = flat[key].reshape(v.shape) if key in flat else v
+                missing.append(key)
+                out[k] = v
         return out
 
-    return fill(jax.device_get(params))
+    result = fill(jax.device_get(params))
+    unused = sorted(set(flat) - used)
+    if missing:
+        msg = (f"load_torch_clip: {len(missing)} params have NO source tensor "
+               f"in {path} (kept random init): {missing[:8]}"
+               f"{'...' if len(missing) > 8 else ''}")
+        if strict:
+            raise ValueError(msg)
+        logger.warning(msg)
+    if unused:
+        logger.warning(
+            f"load_torch_clip: {len(unused)} converted tensors unused: "
+            f"{unused[:8]}{'...' if len(unused) > 8 else ''}"
+        )
+    return result

@@ -31,6 +31,11 @@ def main(argv: Optional[List[str]] = None):
             from ..integrations.ray import ray_tune_pipeline
 
             return ray_tune_pipeline(args)
+        elif args.hyperparameter_strategy == "asha":
+            # ray-free native ASHA over the same Trainable lifecycle
+            from ..integrations.ray import native_asha_pipeline
+
+            return native_asha_pipeline(args)
         raise ValueError(
             f"unknown hyperparameter strategy: {args.hyperparameter_strategy}"
         )

@@ -95,6 +95,10 @@ class Args:
     use_visual_only: bool = False
     use_text_only: bool = False
     use_original_model: bool = False
+    # path to a converted open_clip checkpoint (.npz from
+    # tools/convert_weights.py) — the TPU equivalent of the reference's
+    # implicit hf-hub pretrained fetch (model.py:1266-1281)
+    pretrained: Optional[str] = None
     tokenizer: Optional[str] = None
     lock_image: bool = False
     lock_image_unlocked_groups: int = 0

@@ -94,13 +94,48 @@ class HFTokenizerAdapter:
         return enc["input_ids"].astype(np.int32)
 
 
-def get_tokenizer(name_or_path: str, context_length: int = 256):
+def get_tokenizer(name_or_path: str, context_length: int = 256,
+                  require_real: bool = False):
     """Tokenizer factory (reference: open_clip get_tokenizer at
-    model.py:1279). Local paths → HF tokenizer; anything else → the
-    deterministic hash tokenizer."""
+    model.py:1279). Local paths → HF WordPiece tokenizer; anything else →
+    the deterministic hash tokenizer, LOUDLY (hub names can't be fetched in
+    a zero-egress environment).
+
+    ``require_real`` (set for --pretrained runs) turns the fallback into a
+    hard error: hash-tokenized input through a pretrained text tower would
+    quietly destroy it. Pass ``--tokenizer hash`` to opt out explicitly.
+    """
+    from ..utils.logging import get_logger
+
+    logger = get_logger(__name__)
     if name_or_path and os.path.exists(str(name_or_path)):
         try:
             return HFTokenizerAdapter(name_or_path, context_length)
-        except Exception:
-            pass
+        except Exception as e:
+            if require_real:
+                raise RuntimeError(
+                    f"--tokenizer {name_or_path}: loading the HF tokenizer "
+                    f"failed ({e}); pretrained weights require the real "
+                    "WordPiece vocabulary"
+                ) from e
+            logger.warning(
+                f"tokenizer path {name_or_path!r} failed to load ({e}); "
+                "falling back to the hash tokenizer"
+            )
+            return HashTokenizer(context_length=context_length)
+    if str(name_or_path).lower() in ("hash", "none", ""):
+        return HashTokenizer(context_length=context_length)
+    if require_real:
+        raise RuntimeError(
+            f"tokenizer {name_or_path!r} is not a local path. Pretrained "
+            "(converted) weights need the matching WordPiece tokenizer — "
+            "pass --tokenizer <dir with vocab.txt/tokenizer.json>, or "
+            "--tokenizer hash to explicitly accept the stand-in."
+        )
+    logger.warning(
+        f"tokenizer {name_or_path!r} is not a local path (no network "
+        "access): using the deterministic HASH tokenizer stand-in. Fine for "
+        "training from scratch; NOT compatible with converted pretrained "
+        "text towers."
+    )
     return HashTokenizer(context_length=context_length)

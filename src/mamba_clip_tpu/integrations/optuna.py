@@ -61,28 +61,42 @@ def suggest_args(trial, base: Args) -> Args:
 
 
 def make_objective(base_args: Args):
-    from ..pipeline import pipeline
+    """Trial objective over the classifier model zoo with PER-EPOCH
+    reporting, so optuna's pruners can stop a bad trial mid-run (the
+    reference reports only the final metric; the zoo itself is
+    optuna.py:85-114, realised by models.build_classifier via
+    integrations.runner.TrialRunner)."""
+    from .runner import TrialRunner
 
     def objective(trial):
         args = suggest_args(trial, copy.deepcopy(base_args))
         args = args.replace(
             name=f"{base_args.name or 'optuna'}-trial_{trial.number}",
-            return_best=True,
             eval_loss=base_args.eval_loss or "val_loss",
         )
-        try:
-            metrics = pipeline(args)
-        except (FloatingPointError, ValueError) as e:
-            # NaN-loss guard (reference: optuna.py:217-228)
-            logger.warning(f"trial {trial.number} failed ({e}); pruning as inf")
-            return math.inf if "min" in base_args.hopt_direction else 0.0
         key = args.eval_loss
-        if not metrics or key not in metrics:
-            return math.inf if "min" in base_args.hopt_direction else 0.0
-        val = float(metrics[key])
-        if math.isnan(val):
-            return math.inf if "min" in base_args.hopt_direction else 0.0
-        return val
+        minimize = "min" in base_args.hopt_direction
+        bad = math.inf if minimize else 0.0
+        try:
+            runner = TrialRunner(args, trial_id=trial.number)
+            best = None
+            for epoch in range(args.epochs):
+                metrics = runner.step()
+                val = float(metrics.get(key, bad))
+                if math.isnan(val):
+                    # NaN-loss guard (reference: optuna.py:217-228)
+                    return bad
+                if hasattr(trial, "report"):
+                    trial.report(val, epoch)
+                if getattr(trial, "should_prune", lambda: False)():
+                    raise _require_optuna().TrialPruned()
+                best = val if best is None else (
+                    min(best, val) if minimize else max(best, val)
+                )
+            return bad if best is None else best
+        except (FloatingPointError, ValueError) as e:
+            logger.warning(f"trial {trial.number} failed ({e}); scoring {bad}")
+            return bad
 
     return objective
 
@@ -121,7 +135,32 @@ def optuna_pipeline(args: Args):
         direction=direction,
         load_if_exists=True,
     )
-    study.optimize(make_objective(args), n_trials=args.training_iterations)
+    objective = make_objective(args)
+    if args.report_to and "wandb" in args.report_to:
+        # per-trial wandb tracking (reference: optuna.py:273-294)
+        try:
+            try:
+                from optuna_integration.wandb import WeightsAndBiasesCallback
+            except ImportError:
+                from optuna.integration.wandb import WeightsAndBiasesCallback
+            import dataclasses
+
+            wandb_kwargs = dict(
+                project=args.wandb_project_name or "mamba-clip",
+                name=f"{args.name or 'AutoTrain'}_{rank}",
+                id=f"{args.name or 'AutoTrain'}_{rank}",
+                notes=args.wandb_notes,
+                resume="auto" if args.resume == "latest" else None,
+                config=dataclasses.asdict(args),
+            )
+            wandbcb = WeightsAndBiasesCallback(wandb_kwargs=wandb_kwargs)
+            objective = wandbcb.track_in_wandb()(objective)
+        except ImportError:
+            logger.warning(
+                "--report-to wandb requested but the optuna wandb "
+                "integration is not installed; trials run untracked"
+            )
+    study.optimize(objective, n_trials=args.training_iterations)
     try:
         import joblib
 

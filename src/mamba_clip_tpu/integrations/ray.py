@@ -49,6 +49,36 @@ def suggest_config(tune):
     }
 
 
+def make_trainable(base_args: Args):
+    """A ``tune.Trainable`` with real per-epoch ``step`` +
+    ``save_checkpoint``/``load_checkpoint`` hooks, so the ASHA scheduler can
+    observe intermediate metrics and prune mid-trial (reference:
+    ray.py:67-191). The lifecycle itself lives in
+    :class:`integrations.runner.TrialRunner`."""
+    _, tune = _require_ray()
+    from .runner import TrialRunner
+
+    class MambaClipTrainable(tune.Trainable):
+        def setup(self, config):
+            trial_args = base_args.replace(
+                **{k: v for k, v in config.items() if hasattr(base_args, k)}
+            )
+            self.runner = TrialRunner(
+                trial_args, trial_id=abs(hash(self.trial_id)) % (2 ** 31)
+            )
+
+        def step(self):
+            return self.runner.step()
+
+        def save_checkpoint(self, checkpoint_dir):
+            return self.runner.save(checkpoint_dir)
+
+        def load_checkpoint(self, path):
+            self.runner.restore(path)
+
+    return MambaClipTrainable
+
+
 def ray_tune_pipeline(args: Args):
     ray, tune = _require_ray()
     from ray.tune.schedulers import ASHAScheduler
@@ -64,26 +94,16 @@ def ray_tune_pipeline(args: Args):
         ray.init(ignore_reinit_error=True)
 
     base = copy.deepcopy(args)
-
-    def train_fn(config):
-        from ..pipeline import pipeline
-
-        trial_args = base.replace(
-            **{k: v for k, v in config.items() if hasattr(base, k)},
-            name=f"{base.name or 'ray'}-{tune.get_context().get_trial_id()}",
-            return_best=True,
-            eval_loss=base.eval_loss or "val_loss",
-        )
-        metrics = pipeline(trial_args)
-        tune.report(metrics or {})
-
     scheduler = ASHAScheduler(
+        time_attr="training_iteration",
         metric=args.eval_loss or "val_loss",
         mode="min" if "min" in args.hopt_direction else "max",
         max_t=args.epochs,
+        grace_period=1,
+        reduction_factor=2,
     )
     tuner = tune.Tuner(
-        tune.with_resources(train_fn, {"cpu": 1}),
+        tune.with_resources(make_trainable(base), {"cpu": 1}),
         param_space=suggest_config(tune),
         tune_config=tune.TuneConfig(
             scheduler=scheduler, num_samples=args.training_iterations
@@ -93,3 +113,37 @@ def ray_tune_pipeline(args: Args):
     best = results.get_best_result()
     logger.info(f"Best config: {best.config}")
     return best.config
+
+
+def native_asha_pipeline(args: Args):
+    """Ray-free fallback: the same search space + ASHA decision rule over
+    :class:`TrialRunner` (used when ray isn't installed; also what the
+    integration tests exercise)."""
+    import numpy as np
+
+    from .runner import asha_search
+
+    rng = np.random.default_rng(args.seed)
+
+    def sample_config():
+        return dict(
+            lr=float(10 ** rng.uniform(-6, -3)),
+            beta1=float(rng.uniform(0.85, 0.95)),
+            beta2=float(rng.uniform(0.95, 0.999)),
+            wd=float(rng.uniform(0.0, 0.4)),
+            grad_clip_norm=float(10 ** rng.uniform(-1, 1)),
+        )
+
+    def make_args(t):
+        return args.replace(**sample_config())
+
+    mode = "min" if "min" in args.hopt_direction else "max"
+    result = asha_search(
+        make_args, n_trials=args.training_iterations,
+        metric=args.eval_loss or "val_loss", mode=mode, max_t=args.epochs,
+    )
+    logger.info(
+        f"ASHA best trial {result['best_trial']}: {result['best_metrics']} "
+        f"({len(result['pruned'])} pruned)"
+    )
+    return result

@@ -139,24 +139,3 @@ def siglip_loss(
     ).astype(f32)
     z = eye * 2.0 - 1.0  # +1 for matched pairs, -1 otherwise
     return jnp.sum(jax.nn.softplus(-z * logits)) / n_img
-
-
-def create_loss(args):
-    """Loss factory (reference: loss.py:6-13). Returns a callable
-    ``loss(image_features, text_features, logit_scale, logit_bias=None,
-    axis_name=None)``."""
-    if getattr(args, "siglip", False):
-        def fn(img, txt, logit_scale, logit_bias=None, axis_name=None):
-            bias = logit_bias if logit_bias is not None else jnp.float32(0.0)
-            return siglip_loss(img, txt, logit_scale, bias, axis_name=axis_name)
-        return fn
-
-    local = bool(getattr(args, "local_loss", False))
-
-    def fn(img, txt, logit_scale, logit_bias=None, axis_name=None):
-        return clip_loss(
-            img, txt, logit_scale,
-            axis_name=axis_name, local_loss=local, logit_bias=logit_bias,
-        )
-
-    return fn

@@ -29,18 +29,51 @@ from .clip import (
     l2_normalize,
     lock_mask,
 )
-from .heads import ClipClassifier, MambaVisionClassifier, MlpHead
+from .heads import ClipClassifier, MambaVisionClassifier
 from .text_bert import TextBert
 from .vit import VisionTransformer
 from .vssm import VSSM, SS2D, SSConvSSM, VSSLayer, PatchEmbed2D, PatchMerging2D, medmamba
 
 __all__ = [
-    "ClipModel", "ClipClassifier", "MambaVisionClassifier", "MlpHead",
+    "ClipModel", "ClipClassifier", "MambaVisionClassifier",
     "TextBert", "VisionTransformer", "VSSM", "SS2D", "SSConvSSM",
     "VSSLayer", "PatchEmbed2D", "PatchMerging2D", "medmamba",
     "build_clip", "clamp_logit_scale", "lock_mask", "l2_normalize",
-    "VssmTower", "LOGIT_SCALE_MAX", "init_model",
+    "VssmTower", "LOGIT_SCALE_MAX", "init_model", "build_classifier",
 ]
+
+
+def build_classifier(
+    name: Optional[str],
+    num_classes: int = 2,
+    dtype: Any = jnp.float32,
+    grad_checkpointing: bool = False,
+    scan_impl: Optional[str] = None,
+):
+    """Classifier model zoo (reference: integrations/optuna.py:85-114):
+    ``None``/``vssm``/``medmamba`` → the VSSM (medmamba) classifier;
+    names containing ``mamba`` (e.g. ``mambavision``) →
+    :class:`MambaVisionClassifier` over a VSSM backbone (the reference wraps
+    NVIDIA mambavision from the HF hub; this framework's Mamba vision
+    family is the in-repo VSSM). Anything else raises — there is no hub
+    access for ``AutoModelForImageClassification`` equivalents."""
+    n = (name or "vssm").lower()
+    if n in ("vssm", "medmamba"):
+        return medmamba(
+            num_classes=num_classes, dtype=dtype,
+            use_checkpoint=grad_checkpointing, scan_impl=scan_impl,
+        )
+    if "mamba" in n:
+        backbone = VSSM(
+            depths=(2, 2, 8, 2), dims=(64, 128, 256, 512), num_classes=0,
+            dtype=dtype, use_checkpoint=grad_checkpointing,
+            scan_impl=scan_impl,
+        )
+        return MambaVisionClassifier(backbone=backbone, num_classes=num_classes)
+    raise ValueError(
+        f"Model {name!r} not recognized (reference falls back to the HF hub "
+        "AutoModel, unavailable here): use vssm | medmamba | mambavision"
+    )
 
 
 def init_model(

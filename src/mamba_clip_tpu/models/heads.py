@@ -71,22 +71,6 @@ class ClipClassifier(nn.Module):
         return jnp.argmax(probs, axis=-1), probs
 
 
-class MlpHead(nn.Module):
-    """Head over precomputed frozen features (feature-cached stage-2 path —
-    lets stage-2 train without re-encoding through the towers)."""
-
-    num_classes: int = 2
-    hidden: Optional[int] = None
-
-    @nn.compact
-    def __call__(self, feats, deterministic: bool = True):
-        x = feats.astype(jnp.float32)
-        hidden = self.hidden or x.shape[-1] // 2
-        x = nn.Dense(hidden, dtype=jnp.float32, name="fc1")(x)
-        x = nn.relu(x)
-        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc2")(x)
-
-
 class MambaVisionClassifier(nn.Module):
     """Dropout + Linear over VSSM pooled features
     (reference: model.py:1208-1254; feature_dim = dims[-1] mirrors

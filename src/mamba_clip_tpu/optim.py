@@ -26,6 +26,29 @@ def decay_mask(params) -> Any:
     return jax.tree_util.tree_map(lambda p: jnp.ndim(p) >= 2, params)
 
 
+def freeze_submodule_mask(params, frozen: Any) -> Any:
+    """Trainable mask (True = trainable) that freezes whole top-level
+    submodules — the reference's ``requires_grad_(False)`` on the grafted
+    CLIP/backbone (reference: src/mamba_clip/model.py:1129-1131). Frozen
+    params must be excluded from the optimizer entirely: stop_gradient only
+    zeroes grads, and AdamW's decoupled weight decay would still shrink
+    them every step."""
+    frozen = set(frozen)
+    return {
+        k: jax.tree_util.tree_map(lambda _: k not in frozen, v)
+        for k, v in params.items()
+    }
+
+
+def merge_masks(a: Optional[Any], b: Optional[Any]) -> Optional[Any]:
+    """AND of two trainable masks (None = all-trainable)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jax.tree_util.tree_map(lambda x, y: bool(x) and bool(y), a, b)
+
+
 def build_optimizer(
     args,
     schedule: Optional[Callable],

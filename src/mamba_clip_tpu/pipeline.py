@@ -40,8 +40,8 @@ from .data import get_data, get_metadata, undersample_data
 from .data.loader import device_prefetch
 from .data.tokenizer import get_tokenizer
 from .eval import evaluate
-from .models import ClipClassifier, build_clip, lock_mask, medmamba
-from .optim import build_optimizer
+from .models import ClipClassifier, build_clip, lock_mask
+from .optim import build_optimizer, freeze_submodule_mask, merge_masks
 from .parallel.mesh import (
     broadcast_object,
     create_mesh,
@@ -230,12 +230,30 @@ def prepare_params(
             variables = model.init({"params": rng, "dropout": rng}, img)
         init_params = variables["params"]
         init_batch_stats = variables.get("batch_stats", {})
+        if getattr(args, "pretrained", None) and "visual" in init_params:
+            # converted open_clip weights (tools/convert_weights.py) — the
+            # TPU analog of the reference's hub-pretrained start
+            # (model.py:1266-1281)
+            from .checkpoint import load_torch_clip
+
+            init_params = load_torch_clip(args.pretrained, init_params)
+            logger.info(f"Loaded pretrained CLIP weights from {args.pretrained}")
+
+    # bf16/pure_bf16/pure_fp16 keep the PARAMS (and thus optimizer moments)
+    # in the low-precision dtype (reference: model.to(bf16) under
+    # --precision pure_bf16, amp_utils.py:19-52); amp keeps fp32 masters.
+    if policy.param_dtype != jnp.float32:
+        init_params = policy.cast_to_param(init_params)
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(init_params))
     logger.info(f"Model parameters: {n_params / 1e6:.2f}M")
 
-    steps_per_epoch = data["train"].num_batches // max(args.accum_freq, 1) \
-        if "train" in data else 0
+    # One optimizer step per loader batch — accumulation splits each batch
+    # into micro-batches INSIDE the jitted step (train.py cached-negatives
+    # recipe), unlike the reference where the loader yields micro-batches
+    # and the effective batch is batch_size*accum (train.py:199-290). So the
+    # schedule horizon is num_batches, NOT num_batches//accum_freq.
+    steps_per_epoch = data["train"].num_batches if "train" in data else 0
     total_steps = steps_per_epoch * args.epochs
     schedule = create_schedule(args, total_steps) if total_steps else None
 
@@ -248,7 +266,19 @@ def prepare_params(
             lock_text=args.lock_text,
             lock_text_unlocked_layers=args.lock_text_unlocked_layers,
             lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm,
-        )
+        )["params"]
+    # Frozen submodules (stage-2 grafted CLIP / MambaVision backbone) must be
+    # excluded from the optimizer: the model's stop_gradient only zeroes
+    # grads — AdamW's decoupled weight decay would still shrink the "frozen"
+    # weights every step (reference freezes via requires_grad=False, which
+    # removes them from the optimizer entirely; model.py:1129-1131).
+    frozen = [
+        name for name, flag in (("clip", "freeze_clip"),
+                                ("backbone", "freeze_backbone"))
+        if getattr(model, flag, False) and name in init_params
+    ]
+    if frozen:
+        mask = merge_masks(mask, freeze_submodule_mask(init_params, frozen))
     tx = build_optimizer(args, schedule, trainable_mask=mask)
     state = create_train_state(init_params, tx, init_batch_stats)
 
@@ -324,11 +354,12 @@ def step(
 
     from .eval import make_eval_step
 
+    # every rank evaluates its host-local shard (see eval.evaluate)
     eval_step = make_eval_step(
         model, policy, tcfg_val, stage=stage,
         class_weights=class_weights if args.class_weighted_loss else None,
         takes_text=takes_text,
-    ) if is_master(run) else None
+    )
 
     metrics = None
     best = None
@@ -373,13 +404,9 @@ def step(
                     name=f"{save_prefix}epoch_{completed}",
                 )
             if args.delete_previous_checkpoint:
-                prev = os.path.join(
-                    run.checkpoint_path, f"{save_prefix}epoch_{completed - 1}"
+                delete_previous_checkpoint(
+                    run.checkpoint_path, completed, prefix=save_prefix
                 )
-                if os.path.isdir(prev):
-                    import shutil
-
-                    shutil.rmtree(prev)
             if args.save_most_recent:
                 save_checkpoint(
                     run.checkpoint_path, state, completed, args,
@@ -451,15 +478,26 @@ def pipeline(args: Args):
     # experiment names carry the resolved model so the stage-2 latest-run
     # lookup (create_log_path(latest=True)) can find stage-1 runs
     args = args.replace(model=args.model or stage1_name)
-    is_medmamba_cls = stage1_name == "medmamba" and args.stage == 1
+    # classifier-family models (the optuna model zoo, optuna.py:85-114):
+    # medmamba/vssm and mambavision train the CE path, not contrastive
+    is_medmamba_cls = args.stage == 1 and (
+        stage1_name.lower() in ("medmamba", "vssm")
+        or "mambavision" in stage1_name.lower()
+    )
 
     if args.stage == 1:
         takes_text = not (args.use_visual_only or is_medmamba_cls)
-        tokenizer = get_tokenizer(args.tokenizer or stage1_name) if takes_text else None
+        tokenizer = get_tokenizer(
+            args.tokenizer or stage1_name,
+            require_real=bool(args.pretrained),
+        ) if takes_text else None
         if is_medmamba_cls:
-            model = medmamba(
-                num_classes=args.num_classes or 2, dtype=policy.compute_dtype,
-                use_checkpoint=args.grad_checkpointing,
+            from .models import build_classifier
+
+            model = build_classifier(
+                stage1_name, num_classes=args.num_classes or 2,
+                dtype=policy.compute_dtype,
+                grad_checkpointing=args.grad_checkpointing,
             )
         else:
             model = build_clip(
@@ -493,7 +531,10 @@ def pipeline(args: Args):
                 takes_text=takes_text, class_weights=cw,
             )
     elif args.stage == 2:
-        tokenizer = get_tokenizer(args.tokenizer or stage1_name)
+        tokenizer = get_tokenizer(
+            args.tokenizer or stage1_name,
+            require_real=bool(args.pretrained),
+        )
         clip = build_clip(
             model_name=stage1_name, image_size=image_size,
             quick_gelu=args.force_quick_gelu, dtype=policy.compute_dtype,
@@ -534,6 +575,16 @@ def pipeline(args: Args):
             if stats:
                 init_stats["clip"] = stats
             logger.info(f"Loaded stage-1 weights from {ckpt}")
+        elif args.pretrained:
+            # --use-original-model + --pretrained: classify over the
+            # converted hub CLIP directly (reference: pipeline.py:594-606
+            # use_original_model path)
+            from .checkpoint import load_torch_clip
+
+            init_params["clip"] = load_torch_clip(
+                args.pretrained, init_params["clip"]
+            )
+            logger.info(f"Loaded pretrained CLIP weights from {args.pretrained}")
 
         cw = data["train"].class_weights if "train" in data else None
         params = prepare_params(

@@ -137,6 +137,14 @@ def make_clip_train_step(
     use_siglip = bool(args.siglip)
     accum = max(int(args.accum_freq), 1)
     ls = policy.loss_scale
+    # --lock-image-freeze-bn-stats: a locked image tower also keeps its
+    # BN running stats frozen (reference: model.py lock_image_tower
+    # freeze_bn_stats path) — restore the visual batch_stats subtree after
+    # the forward's mutable update.
+    freeze_bn = bool(
+        getattr(args, "lock_image", False)
+        and getattr(args, "lock_image_freeze_bn_stats", False)
+    )
     use_shardmap = (
         mesh is not None
         and bool(args.local_loss)
@@ -196,13 +204,16 @@ def make_clip_train_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         rng = jax.random.fold_in(rng, state.step)
-        r_pp, r_mix, r_drop = jax.random.split(rng, 3)
+        # distinct keys: preprocess, mix-preprocess, Beta lambda, dropout —
+        # sharing a key between the mix augmentation stream and the lambda
+        # draw would correlate the mix ratio with the crop/flip randomness
+        r_pp, r_mixpp, r_lam, r_drop = jax.random.split(rng, 4)
         images = _preprocess_train(batch["image"], r_pp, tcfg, policy)
         tokens = batch.get("tokens")
         if args.balanced_mixup and "mix_image" in batch:
-            mix_images = _preprocess_train(batch["mix_image"], r_mix, tcfg, policy)
+            mix_images = _preprocess_train(batch["mix_image"], r_mixpp, tcfg, policy)
             images, tokens, _ = _mixup(
-                r_mix, args, images, tokens, None,
+                r_lam, args, images, tokens, None,
                 mix_images, batch.get("mix_tokens"), None, 2,
             )
         rngs = {"dropout": r_drop}
@@ -266,6 +277,8 @@ def make_clip_train_step(
             loss = loss_sum / (ls * accum)
             out = {"logit_scale": jnp.exp(state.params["logit_scale"])}
 
+        if freeze_bn and isinstance(new_stats, dict) and "visual" in new_stats:
+            new_stats = {**new_stats, "visual": state.batch_stats["visual"]}
         if ls != 1.0:
             grads = jax.tree_util.tree_map(lambda g: g / ls, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -321,15 +334,15 @@ def make_classifier_train_step(
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        r_pp, r_mix, r_drop = jax.random.split(rng, 3)
+        r_pp, r_mixpp, r_lam, r_drop = jax.random.split(rng, 4)
         images = _preprocess_train(batch["image"], r_pp, tcfg, policy)
         tokens = batch.get("tokens")
         targets = batch["target"]
         soft = None
         if args.balanced_mixup and "mix_image" in batch:
-            mix_images = _preprocess_train(batch["mix_image"], r_mix, tcfg, policy)
+            mix_images = _preprocess_train(batch["mix_image"], r_mixpp, tcfg, policy)
             images, tokens, soft = _mixup(
-                r_mix, args, images, tokens, targets,
+                r_lam, args, images, tokens, targets,
                 mix_images, batch.get("mix_tokens"), batch["mix_target"],
                 num_classes,
             )

@@ -87,7 +87,7 @@ def test_resume_continues_training(tmp_path, monkeypatch):
 
     monkeypatch.setattr(P, "build_clip", small)
     monkeypatch.setattr(
-        P, "get_tokenizer", lambda n, context_length=16: HashTokenizer(16, 256)
+        P, "get_tokenizer", lambda n, context_length=16, **kw: HashTokenizer(16, 256)
     )
 
     base = dict(

@@ -33,7 +33,8 @@ def tiny_build(monkeypatch):
 
     monkeypatch.setattr(P, "build_clip", small)
     monkeypatch.setattr(
-        P, "get_tokenizer", lambda name, context_length=32: HashTokenizer(32, 512)
+        P, "get_tokenizer",
+        lambda name, context_length=32, **kw: HashTokenizer(32, 512),
     )
     return P
 

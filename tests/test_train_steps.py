@@ -95,6 +95,55 @@ def test_logit_scale_clamped(setup):
     assert float(new_state.params["logit_scale"]) <= LOGIT_SCALE_MAX + 1e-6
 
 
+def test_stage2_frozen_clip_not_decayed(setup):
+    """The frozen CLIP subtree must stay BIT-IDENTICAL through a stage-2
+    step even with weight decay on: stop_gradient zeroes grads, but AdamW's
+    decoupled wd would still shrink the weights unless the subtree is
+    excluded from the optimizer (reference freezes via requires_grad=False,
+    model.py:1129-1131; fix = multi_transform set_to_zero over 'clip')."""
+    from mamba_clip_tpu.models.heads import ClipClassifier
+    from mamba_clip_tpu.optim import freeze_submodule_mask
+
+    model, variables, batch, rng = setup
+    head = ClipClassifier(clip=model.copy(name=None), num_classes=2)
+    hv = head.init({"params": rng}, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 16), jnp.int32))
+    args = Args(batch_size=8, epochs=1, lr=1e-2, wd=0.05, warmup=0,
+                precision="fp32", num_classes=2)
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+
+    def run(mask):
+        tx = build_optimizer(args, schedule, trainable_mask=mask)
+        state = create_train_state(hv["params"], tx, {})
+        fn = jax.jit(make_classifier_train_step(
+            model=head, tx=tx, policy=policy, args=args, tcfg=tcfg,
+            schedule=schedule, num_classes=2, takes_text=True,
+        ))
+        new_state, _ = fn(state, batch, rng)
+        return state, new_state
+
+    # without the mask, wd corrupts the "frozen" towers (the round-1 bug)
+    state, new_state = run(None)
+    clip_delta = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.params["clip"], new_state.params["clip"])))
+    assert clip_delta > 0, "expected unmasked wd to move frozen params"
+
+    mask = freeze_submodule_mask(hv["params"], ["clip"])
+    state, new_state = run(mask)
+    clip_delta = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.params["clip"], new_state.params["clip"])))
+    assert clip_delta == 0.0
+    head_delta = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        {k: v for k, v in state.params.items() if k != "clip"},
+        {k: v for k, v in new_state.params.items() if k != "clip"})))
+    assert head_delta > 0
+
+
 def test_balanced_mixup_classifier(setup):
     """Mixup produces soft targets and a finite CE loss
     (reference train.py:75-84 semantics)."""
