@@ -86,6 +86,13 @@ class Args:
     # -- precision ---------------------------------------------------------
     precision: str = "amp"  # amp|amp_bf16|amp_bfloat16|bf16|pure_bf16|fp16|pure_fp16|fp32
 
+    # -- device mesh (beyond the reference's pure DP) -----------------------
+    # devices lay out as data x fsdp x model; data = all remaining. fsdp>1
+    # shards params/optimizer dim 0 (ZeRO-3 style), model>1 tensor-shards
+    # the last dim; the batch shards over data x fsdp.
+    mesh_fsdp: int = 1
+    mesh_model: int = 1
+
     # -- model ---------------------------------------------------------
     stage: int = 1
     model: Optional[str] = None

@@ -137,13 +137,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
-    """Parameter shardings: replicated for pure DP; 2D-sharded over fsdp for
-    large params when the fsdp axis is >1."""
+    """Parameter shardings: replicated for pure DP (the reference's only
+    mode); when the fsdp axis is >1, ndim>=2 params shard dim 0 over it
+    (ZeRO-3 style — XLA inserts the all-gathers before use and keeps the
+    optimizer update sharded); otherwise, when the model axis is >1, the
+    last dim is tensor-parallel where divisible. Applies to any state
+    pytree whose leaves mirror param shapes (AdamW moments shard
+    identically).
+
+    Each matrix is deliberately sharded on ONE axis only: sharding BOTH
+    axes (P('fsdp','model')) of consecutive mlp matmuls miscompiles the
+    backward in XLA SPMD (jax 0.9.0, CPU, shardy AND legacy GSPMD: loss
+    exact but upstream grads off by >1e1 vs single-device ground truth —
+    see tests/test_parallel.py::test_fsdp_tp_train_step_matches_replicated,
+    which pins this workaround against ground truth)."""
     fsdp = mesh.shape[FSDP_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
 
     def shard_one(x):
-        if fsdp > 1 and hasattr(x, "ndim") and x.ndim >= 2 and x.shape[0] % fsdp == 0:
-            return NamedSharding(mesh, P(FSDP_AXIS))
+        if not hasattr(x, "ndim") or x.ndim < 2:
+            return NamedSharding(mesh, P())
+        if fsdp > 1 and x.shape[0] % fsdp == 0:
+            return NamedSharding(mesh, P(FSDP_AXIS, *([None] * (x.ndim - 1))))
+        if tp > 1 and x.shape[-1] % tp == 0:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [MODEL_AXIS])))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(shard_one, params)

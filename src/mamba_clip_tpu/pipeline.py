@@ -69,7 +69,7 @@ LATEST_CHECKPOINT_NAME = "epoch_latest"
 def init_run(args: Args):
     """Device/mesh/rank/logging bring-up (reference: init_device,
     dist_utils.py:34-88)."""
-    from .parallel.mesh import enable_compilation_cache
+    from .parallel.mesh import MeshSpec, enable_compilation_cache
 
     enable_compilation_cache()
     maybe_initialize_distributed()
@@ -82,7 +82,10 @@ def init_run(args: Args):
         device=jax.devices()[0].platform,
     )
     logger_setup(rank=rank)
-    mesh = create_mesh()
+    mesh = create_mesh(
+        MeshSpec(fsdp=getattr(args, "mesh_fsdp", 1) or 1,
+                 model=getattr(args, "mesh_model", 1) or 1)
+    )
     return run, mesh
 
 
@@ -282,8 +285,15 @@ def prepare_params(
     tx = build_optimizer(args, schedule, trainable_mask=mask)
     state = create_train_state(init_params, tx, init_batch_stats)
 
-    # Place state on the mesh (replicated: pure DP like the reference).
-    state = jax.device_put(state, replicated(mesh))
+    # Place state on the mesh: replicated under pure DP (the reference's
+    # mode); fsdp/model axes >1 shard params AND optimizer moments
+    # (param_sharding rule — the moments mirror param shapes).
+    if mesh.shape["fsdp"] > 1 or mesh.shape["model"] > 1:
+        from .parallel.mesh import param_sharding
+
+        state = jax.device_put(state, param_sharding(mesh, state))
+    else:
+        state = jax.device_put(state, replicated(mesh))
 
     start_epoch = 0
     if run.resume_from:

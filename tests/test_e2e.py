@@ -185,3 +185,17 @@ def test_results_jsonl_written(tiny_build, tmp_path):
 
     rows = [json.loads(l) for l in open(path)]
     assert rows and "val_loss" in rows[0]
+
+
+def test_stage1_fsdp_mesh_cli(tiny_build, tmp_path):
+    """--mesh-fsdp 2 trains end-to-end with params/optimizer sharded over
+    the fsdp axis (VERDICT #10: fsdp reachable from the CLI)."""
+    from mamba_clip_tpu.config import parse_args
+
+    P = tiny_build
+    args = _args(tmp_path, mesh_fsdp=2)
+    # the flag must also parse from the CLI surface
+    parsed = parse_args(["--mesh-fsdp", "2", "--mesh-model", "1"])
+    assert parsed.mesh_fsdp == 2 and parsed.mesh_model == 1
+    metrics = P.pipeline(args)
+    assert metrics and np.isfinite(metrics["val_loss"])
