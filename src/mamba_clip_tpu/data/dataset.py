@@ -117,6 +117,10 @@ class IsicChallengeDataset:
         if small_test:
             self.meta = self.meta.iloc[: min(len(self.meta), 512)]
         self.ids = list(self.meta.index)
+        # plain-dict rows: pandas .loc row materialization costs ~0.5 ms per
+        # item, which at 64-item batches starves the TPU (measured; the hot
+        # loop is GIL-bound Python, see data/loader.py)
+        self._records = self.meta.to_dict("records")
         self.targets = (
             self.meta["target"].to_numpy(np.int32)
             if "target" in self.meta.columns
@@ -178,7 +182,7 @@ class IsicChallengeDataset:
 
     def __getitem__(self, idx: int) -> dict:
         isic_id = self.ids[idx]
-        row = self.meta.loc[isic_id]
+        row = self._records[idx]
         rng = np.random.default_rng((self.seed, self.epoch, idx))
         image = self._load_image(isic_id, idx)
         out = {"image": image}

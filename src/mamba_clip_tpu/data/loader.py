@@ -134,31 +134,57 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
-        def fetch(i):
-            return self.dataset[int(i)]
+        def fetch_chunk(chunk):
+            # one task per contiguous chunk, not per item: per-item tasks
+            # thrash the GIL (measured: 4 threads on ~1 ms pure-Python items
+            # ran SLOWER than one), while chunks keep decode (GIL-releasing
+            # native libjpeg) overlapped across threads
+            ds = self.dataset
+            return [ds[int(i)] for i in chunk]
+
+        def gather(idx_slice):
+            chunks = np.array_split(idx_slice, self.workers)
+            items = []
+            for part in pool.map(fetch_chunk, [c for c in chunks if len(c)]):
+                items.extend(part)
+            return items
+
+        def put(item) -> bool:
+            # stop-aware put: a plain q.put would block forever when the
+            # consumer abandons the iterator, leaking the worker pool
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
-                with ThreadPoolExecutor(self.workers) as pool:
+                with ThreadPoolExecutor(self.workers) as pool_:
+                    nonlocal pool
+                    pool = pool_
                     for b in range(nb):
                         if stop.is_set():
                             return
                         # the final slice is naturally shorter when
                         # drop_last=False (numpy slicing clamps)
                         sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
-                        items = list(pool.map(fetch, main_idx[sl]))
-                        batch = _stack(items)
+                        batch = _stack(gather(main_idx[sl]))
                         if mix_idx is not None:
-                            mix_items = list(pool.map(fetch, mix_idx[sl]))
-                            mix = _stack(mix_items)
+                            mix = _stack(gather(mix_idx[sl]))
                             batch = {
                                 **batch,
                                 **{f"mix_{k}": v for k, v in mix.items()},
                             }
-                        q.put(batch)
-                q.put(None)
+                        if not put(batch):
+                            return
+                put(None)
             except BaseException as e:  # propagate into consumer
-                q.put(e)
+                put(e)
+
+        pool = None
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

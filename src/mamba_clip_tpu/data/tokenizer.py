@@ -50,15 +50,26 @@ class HashTokenizer:
     def __init__(self, context_length: int = 256, vocab_size: int = 30522):
         self.context_length = context_length
         self.vocab_size = vocab_size
+        # word -> id memo: report text is templated, so the live vocabulary
+        # is small; hashing each word in Python (~3 us) dominated the host
+        # item cost before this (measured in the loader-bound e2e run)
+        self._memo: dict = {}
 
     @property
     def pad_id(self) -> int:
         return self.PAD
 
     def _encode_one(self, text: str) -> List[int]:
-        toks = _WORD_RE.findall(text.lower())
         space = self.vocab_size - self.N_SPECIAL
-        return [self.N_SPECIAL + (_fnv1a(t) % space) for t in toks]
+        memo = self._memo
+        out = []
+        for t in _WORD_RE.findall(text.lower()):
+            tid = memo.get(t)
+            if tid is None:
+                tid = self.N_SPECIAL + (_fnv1a(t) % space)
+                memo[t] = tid
+            out.append(tid)
+        return out
 
     def __call__(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
         if isinstance(texts, str):
