@@ -167,3 +167,28 @@ class TestLoader:
         loader.set_epoch(1)
         e1 = [b["target"] for b in loader]
         assert not all((a == b).all() for a, b in zip(e0, e1))
+
+    def test_abandoned_iterator_releases_producer(self):
+        # a consumer that stops early (e.g. a crashed train loop) must not
+        # leave the producer thread blocked on a full queue forever
+        import threading
+        import time
+
+        ds = SyntheticIsicDataset(256, staging_size=8, is_train=True)
+        loader = BatchLoader(
+            ds, batch_size=8, seed=0, workers=2, prefetch_batches=1
+        )
+        before = set(threading.enumerate())
+        it = iter(loader)
+        next(it)
+        it.close()  # generator finally → stop event
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            extra = [
+                t for t in threading.enumerate()
+                if t not in before and t.is_alive()
+            ]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"producer threads leaked: {extra}"
