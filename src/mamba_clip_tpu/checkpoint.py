@@ -138,10 +138,33 @@ def load_checkpoint(path: str, state):
         "epoch": 0,
     }
     ckptr = _checkpointer()
-    restored = ckptr.restore(path, template)
+    try:
+        restored = ckptr.restore(path, template)
+        opt_state = restored["opt_state"]
+    except ValueError:
+        # opt_state tree mismatch — e.g. resuming a TRAINED checkpoint into
+        # an eval-only run whose optimizer was built without a schedule
+        # (--is-test --resume). The reference loads with strict=False
+        # (file_utils.py:96); the params are what matters, keep our fresh
+        # opt_state.
+        logger.warning(
+            f"checkpoint {path}: optimizer state does not match this run's "
+            "optimizer (different schedule/masks?); restoring params only"
+        )
+        raw = ckptr.restore(path)
+        restored = {
+            "params": jax.tree_util.tree_map(
+                lambda t, r: np.asarray(r, t.dtype),
+                template["params"], raw["params"],
+            ),
+            "batch_stats": raw.get("batch_stats", {}) or {},
+            "step": raw.get("step", 0),
+            "epoch": raw.get("epoch", 0),
+        }
+        opt_state = state.opt_state
     new_state = state.replace(
         params=restored["params"],
-        opt_state=restored["opt_state"],
+        opt_state=opt_state,
         batch_stats=restored["batch_stats"],
         step=np.asarray(restored["step"], np.int32),
     )

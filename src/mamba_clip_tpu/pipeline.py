@@ -562,10 +562,27 @@ def pipeline(args: Args):
         # fresh stage-2 dir shadows it in the latest-run scan.
         s1_ckpt = None
         if not args.use_original_model:
-            s1_name = create_log_path(args.replace(model=stage1_name), latest=True)
-            s1_ckpt = os.path.join(
-                args.logs, s1_name, "checkpoints", f"stage_1_{LATEST_CHECKPOINT_NAME}"
+            s1_rel = os.path.join(
+                "checkpoints", f"stage_1_{LATEST_CHECKPOINT_NAME}"
             )
+            try:
+                s1_name = create_log_path(
+                    args.replace(model=stage1_name), latest=True,
+                    containing=s1_rel,
+                )
+                s1_ckpt = os.path.join(args.logs, s1_name, s1_rel)
+            except FileNotFoundError:
+                if not args.resume:
+                    raise
+                # resuming a stage-2 checkpoint restores the full classifier
+                # (frozen CLIP included); the stage-1 graft is only the
+                # bootstrap, so a missing stage-1 run is not fatal here
+                # (e.g. --is-test --resume latest in a logs dir whose
+                # newest runs are stage-2).
+                logger.warning(
+                    "no stage-1 run with a stage_1 checkpoint found; "
+                    "relying on --resume to restore the stage-2 state"
+                )
         run = setup_paths(args, run)
         run = setup_train(args, run, checkpoint_prefix=f"stage_{args.stage}_")
 

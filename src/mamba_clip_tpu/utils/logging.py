@@ -167,13 +167,19 @@ def warning_once(logger: logging.Logger, msg: str) -> None:
 _seen_warnings: set = set()
 
 
-def create_log_path(args: Any, latest: bool = False) -> str:
+def create_log_path(args: Any, latest: bool = False,
+                    containing: Optional[str] = None) -> str:
     """Experiment-name scheme ``date-model-lr-b-j-p[-trial]``.
 
     Mirrors the reference naming (reference: utils/logging.py:505-537). With
     ``latest=True``, instead of minting a new name, returns the most recent
     existing run dir for the same model/hyperparams (used by stage-2 to find
-    the stage-1 run).
+    the stage-1 run). ``containing`` restricts candidates to run dirs that
+    hold the given relative path — the reference blindly takes the newest
+    name-matching dir (utils/logging.py:524-537), which breaks once a
+    stage-2 run with the same hyperparams exists (it shadows the stage-1
+    run but holds no stage-1 checkpoint); filtering by content implements
+    the evident intent.
     """
     model_name = str(getattr(args, "model", "model")).replace("/", "-")
     base = "-".join(
@@ -194,10 +200,15 @@ def create_log_path(args: Any, latest: bool = False) -> str:
         if os.path.isdir(logs_root):
             for d in os.listdir(logs_root):
                 if d.endswith(suffix) or suffix in d:
+                    if containing is not None and not os.path.exists(
+                        os.path.join(logs_root, d, containing)
+                    ):
+                        continue
                     candidates.append(d)
         if not candidates:
+            what = f" containing {containing}" if containing else ""
             raise FileNotFoundError(
-                f"no existing run matching '*{suffix}' under {logs_root}"
+                f"no existing run matching '*{suffix}'{what} under {logs_root}"
             )
         candidates.sort(
             key=lambda d: os.path.getmtime(os.path.join(logs_root, d))

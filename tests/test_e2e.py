@@ -78,7 +78,9 @@ def test_two_stage_pipeline(tiny_build, tmp_path):
     import mamba_clip_tpu.pipeline as PP
 
     orig_clp = PP.create_log_path
-    PP.create_log_path = lambda a, latest=False: "e2e-s1" if latest else orig_clp(a)
+    PP.create_log_path = (
+        lambda a, latest=False, **kw: "e2e-s1" if latest else orig_clp(a)
+    )
     try:
         m2 = P.pipeline(args2)
     finally:
@@ -200,6 +202,59 @@ def test_is_test_eval_only(tiny_build, tmp_path):
     df = pd.read_csv(sub)
     assert len(df) == 16 and set(df.columns) == {"isic_id", "target"}
     assert df["target"].between(0, 1).all()
+
+
+def test_trained_stage2_submission_flow(tiny_build, tmp_path):
+    """The real submission flow: stage-1 → stage-2 (auto-named runs) →
+    --is-test --resume latest reusing the stage-2 run name. Regression for
+    the latest-run shadowing bug: the newer stage-2 dir matches the same
+    name pattern as the stage-1 dir but holds no stage_1 checkpoint; the
+    lookup must skip it (create_log_path(containing=...)) instead of
+    crashing with FileNotFoundError."""
+    import io
+
+    import pandas as pd
+    import pytest as _pytest
+
+    h5py = _pytest.importorskip("h5py")
+    from PIL import Image
+
+    from mamba_clip_tpu.data import synthetic_metadata
+
+    P = tiny_build
+    # ragged test split: 12 % 8 != 0
+    data_dir = tmp_path / "isic_sub"
+    data_dir.mkdir()
+    meta = synthetic_metadata(12, seed=3)
+    meta.to_csv(data_dir / "test-metadata.csv", index=False)
+    rng = np.random.default_rng(0)
+    with h5py.File(data_dir / "test-image.hdf5", "w") as f:
+        for isic_id in meta["isic_id"]:
+            arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG")
+            f[isic_id] = np.void(buf.getvalue())
+
+    m1 = P.pipeline(_args(tmp_path, name=None, stage=1))
+    assert np.isfinite(m1["val_loss"])
+    m2 = P.pipeline(_args(
+        tmp_path, name=None, stage=2, num_classes=2,
+        model="tiny", model_stage_1="tiny",
+    ))
+    assert np.isfinite(m2["val_loss"])
+
+    runs = sorted(os.listdir(tmp_path), key=lambda d: os.path.getmtime(
+        os.path.join(tmp_path, d)))
+    s2_run = runs[-1]
+    m3 = P.pipeline(_args(
+        tmp_path, name=s2_run, stage=2, num_classes=2, is_test=True,
+        synthetic_data=False, data_path=str(data_dir) + "/",
+        resume="latest", model="tiny", model_stage_1="tiny",
+    ))
+    assert np.isfinite(m3["val_loss"])
+    sub = os.path.join(tmp_path, s2_run, "checkpoints", "submission.csv")
+    df = pd.read_csv(sub)
+    assert len(df) == 12  # every ragged test row predicted
 
 
 def test_results_jsonl_written(tiny_build, tmp_path):
