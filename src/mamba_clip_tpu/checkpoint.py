@@ -151,16 +151,17 @@ def load_checkpoint(path: str, state):
             f"checkpoint {path}: optimizer state does not match this run's "
             "optimizer (different schedule/masks?); restoring params only"
         )
-        raw = ckptr.restore(path)
-        restored = {
-            "params": jax.tree_util.tree_map(
-                lambda t, r: np.asarray(r, t.dtype),
-                template["params"], raw["params"],
-            ),
-            "batch_stats": raw.get("batch_stats", {}) or {},
-            "step": raw.get("step", 0),
-            "epoch": raw.get("epoch", 0),
-        }
+        import orbax.checkpoint as ocp
+
+        partial = {k: v for k, v in template.items() if k != "opt_state"}
+        with ocp.PyTreeCheckpointer() as ptc:
+            # partial_restore skips the opt_state subtree entirely (it can
+            # dominate the checkpoint: 2 AdamW moments per param)
+            restored = ptc.restore(
+                path, args=ocp.args.PyTreeRestore(
+                    item=partial, partial_restore=True
+                ),
+            )
         opt_state = state.opt_state
     new_state = state.replace(
         params=restored["params"],

@@ -71,23 +71,38 @@ def make_eval_step(model, policy, tcfg, stage: int = 1, class_weights=None,
         )
         return loss
 
-    @jax.jit
-    def stage2_step(variables, batch):
+    def _stage2_logits(variables, batch):
         images = eval_preprocess(
             batch["image"], out_size=tcfg.image_size, mean=tcfg.mean,
             std=tcfg.std, out_dtype=policy.compute_dtype,
         )
         if takes_text:
-            logits = model.apply(
+            return model.apply(
                 variables, images, batch.get("tokens"), deterministic=True
             )
-        else:
-            logits = model.apply(variables, images, deterministic=True)
+        return model.apply(variables, images, deterministic=True)
+
+    @jax.jit
+    def stage2_step(variables, batch):
+        logits = _stage2_logits(variables, batch)
         loss = cross_entropy_loss(logits, batch["target"], weight=weights)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return loss, probs
 
-    return stage1_step if stage == 1 else stage2_step
+    @jax.jit
+    def stage2_step_unlabeled(variables, batch):
+        # challenge test split: no target column (reference data.py:279-282
+        # sets targets=None) — predictions only, no CE/pAUC
+        logits = _stage2_logits(variables, batch)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.float32(0.0), probs
+
+    def stage2_dispatch(variables, batch):
+        if "target" in batch:
+            return stage2_step(variables, batch)
+        return stage2_step_unlabeled(variables, batch)
+
+    return stage1_step if stage == 1 else stage2_dispatch
 
 
 def evaluate(
@@ -141,6 +156,7 @@ def evaluate(
     cumulative_loss = 0.0
     num_samples = 0
     all_probs, all_targets = [], []
+    labeled = True
     for i, batch in enumerate(loader):
         bs = batch["image"].shape[0]
         if stage == 1:
@@ -148,7 +164,10 @@ def evaluate(
         else:
             loss, probs = step(variables, batch)
             all_probs.append(np.asarray(probs))
-            all_targets.append(np.asarray(batch["target"]))
+            if "target" in batch:
+                all_targets.append(np.asarray(batch["target"]))
+            else:
+                labeled = False
         cumulative_loss += float(loss) * bs
         num_samples += bs
         if master and i % args.log_every_n_steps == 0:
@@ -158,7 +177,8 @@ def evaluate(
             )
 
     probs = np.concatenate(all_probs, axis=0) if all_probs else None
-    targets = np.concatenate(all_targets, axis=0) if all_targets else None
+    targets = (np.concatenate(all_targets, axis=0)
+               if labeled and all_targets else None)
     if world > 1:
         # combine per-host shards: scalar sums + padded allgather (hosts
         # may differ by one sample under array_split sharding)
@@ -176,17 +196,21 @@ def evaluate(
             pad = n_max - probs.shape[0]
             p_all = np.asarray(mhu.process_allgather(
                 np.pad(probs, ((0, pad), (0, 0)))))
-            t_all = np.asarray(mhu.process_allgather(np.pad(targets, (0, pad))))
             probs = np.concatenate(
                 [p_all[i, : counts[i]] for i in range(len(counts))])
-            targets = np.concatenate(
-                [t_all[i, : counts[i]] for i in range(len(counts))])
+            if targets is not None:
+                t_all = np.asarray(
+                    mhu.process_allgather(np.pad(targets, (0, pad))))
+                targets = np.concatenate(
+                    [t_all[i, : counts[i]] for i in range(len(counts))])
 
-    metrics["val_loss"] = cumulative_loss / max(num_samples, 1)
+    if labeled:
+        metrics["val_loss"] = cumulative_loss / max(num_samples, 1)
     if probs is not None:
         if probs.shape[1] == 1:
             probs = np.concatenate([1 - probs, probs], axis=1)
-        metrics["partial_auc"] = partial_auc(targets, probs[:, 1])
+        if targets is not None:  # label-free test split has no pAUC
+            metrics["partial_auc"] = partial_auc(targets, probs[:, 1])
         if master and split == "test" and getattr(run_state, "checkpoint_path", None):
             # per-sample malignancy probabilities for challenge submission
             # (the reference's --is-test mode stops at metrics; eval order

@@ -390,7 +390,8 @@ def step(
             class_weights=class_weights if args.class_weighted_loss else None,
             takes_text=takes_text, eval_step=eval_step,
         )
-        if args.return_best and args.eval_loss and _metrics:
+        if (args.return_best and args.eval_loss
+                and _metrics and args.eval_loss in _metrics):
             better = (
                 best is None
                 or ("min" in args.hopt_direction

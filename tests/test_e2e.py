@@ -222,10 +222,11 @@ def test_trained_stage2_submission_flow(tiny_build, tmp_path):
     from mamba_clip_tpu.data import synthetic_metadata
 
     P = tiny_build
-    # ragged test split: 12 % 8 != 0
+    # ragged test split: 12 % 8 != 0; no target column, like the real
+    # challenge test metadata (reference data.py:279-282 → targets=None)
     data_dir = tmp_path / "isic_sub"
     data_dir.mkdir()
-    meta = synthetic_metadata(12, seed=3)
+    meta = synthetic_metadata(12, seed=3).drop(columns=["target"])
     meta.to_csv(data_dir / "test-metadata.csv", index=False)
     rng = np.random.default_rng(0)
     with h5py.File(data_dir / "test-image.hdf5", "w") as f:
@@ -251,7 +252,9 @@ def test_trained_stage2_submission_flow(tiny_build, tmp_path):
         synthetic_data=False, data_path=str(data_dir) + "/",
         resume="latest", model="tiny", model_stage_1="tiny",
     ))
-    assert np.isfinite(m3["val_loss"])
+    # label-free test split: no CE/pAUC, but every sample predicted
+    assert "val_loss" not in m3 and "partial_auc" not in m3
+    assert m3["num_samples"] == 12
     sub = os.path.join(tmp_path, s2_run, "checkpoints", "submission.csv")
     df = pd.read_csv(sub)
     assert len(df) == 12  # every ragged test row predicted
