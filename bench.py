@@ -49,9 +49,14 @@ def _kernel_verify_marker():
 
     mod = importlib.import_module("mamba_clip_tpu.ops.selective_scan")
     src = open(mod.__file__, "rb").read()
+    dev = jax.devices()[0]
+    # platform_version carries the libtpu/Mosaic build string — the
+    # compiler this gate actually checks; jax.__version__ alone would
+    # survive a jaxlib/libtpu upgrade
+    toolchain = getattr(dev.client, "platform_version", "")
     key = hashlib.sha256(
-        src + jax.__version__.encode()
-        + jax.devices()[0].device_kind.encode()
+        src + jax.__version__.encode() + toolchain.encode()
+        + dev.device_kind.encode()
     ).hexdigest()[:16]
     cache_dir = os.path.expanduser("~/.cache/mamba_clip_tpu")
     os.makedirs(cache_dir, exist_ok=True)
@@ -106,8 +111,7 @@ def verify_compiled_kernel():
         f.write("verified\n")
 
 
-def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
-                     donate=True):
+def build_train_step(batch_size=64, model_name="biomedclip", precision="amp"):
     """Build (step_fn, state, device_batch, rng) for the stage-1 recipe.
 
     Shared by bench.py and tools/profile_step.py so the profiled step is
@@ -149,7 +153,7 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
 
     step_fn = jax.jit(
         make_clip_train_step(model, tx, policy, args, tcfg, schedule),
-        donate_argnums=(0,) if donate else (),
+        donate_argnums=(0,),
     )
 
     np_rng = np.random.default_rng(0)

@@ -123,11 +123,17 @@ def save_checkpoint(
     return path
 
 
-def load_checkpoint(path: str, state):
+def load_checkpoint(path: str, state, allow_partial: bool = False):
     """Restore into an existing TrainState-shaped pytree. Returns
     (state, start_epoch) (reference: file_utils.py:83-100 semantics —
     resume restores optimizer + epoch; bare params-only checkpoints load
-    with strict=False equivalents)."""
+    with strict=False equivalents).
+
+    ``allow_partial`` permits a params-only restore when the saved
+    optimizer tree doesn't match this run's optimizer — only safe for
+    eval-only runs (--is-test), where fresh moments/schedule don't matter.
+    A TRAINING resume must keep the hard error: silently resetting Adam
+    moments and replaying warmup behind a warning corrupts the run."""
     wait_for_checkpoints()
     path = os.path.abspath(path)
     template = {
@@ -147,6 +153,8 @@ def load_checkpoint(path: str, state):
         # (--is-test --resume). The reference loads with strict=False
         # (file_utils.py:96); the params are what matters, keep our fresh
         # opt_state.
+        if not allow_partial:
+            raise
         logger.warning(
             f"checkpoint {path}: optimizer state does not match this run's "
             "optimizer (different schedule/masks?); restoring params only"

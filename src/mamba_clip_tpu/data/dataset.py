@@ -117,10 +117,15 @@ class IsicChallengeDataset:
         if small_test:
             self.meta = self.meta.iloc[: min(len(self.meta), 512)]
         self.ids = list(self.meta.index)
-        # plain-dict rows: pandas .loc row materialization costs ~0.5 ms per
+        # fast row access: pandas .loc row materialization costs ~0.5 ms per
         # item, which at 64-item batches starves the TPU (measured; the hot
-        # loop is GIL-bound Python, see data/loader.py)
-        self._records = self.meta.to_dict("records")
+        # loop is GIL-bound Python, see data/loader.py). Column arrays +
+        # an on-demand dict keep the O(1)-ish access without duplicating
+        # the whole frame as row dicts (to_dict('records') on the real
+        # ~400k x ~55 ISIC metadata is a GB-class allocation).
+        self._col_arrays = {
+            c: self.meta[c].to_numpy() for c in self.meta.columns
+        }
         self.targets = (
             self.meta["target"].to_numpy(np.int32)
             if "target" in self.meta.columns
@@ -182,7 +187,7 @@ class IsicChallengeDataset:
 
     def __getitem__(self, idx: int) -> dict:
         isic_id = self.ids[idx]
-        row = self._records[idx]
+        row = {c: a[idx] for c, a in self._col_arrays.items()}
         rng = np.random.default_rng((self.seed, self.epoch, idx))
         image = self._load_image(isic_id, idx)
         out = {"image": image}

@@ -297,7 +297,11 @@ def prepare_params(
 
     start_epoch = 0
     if run.resume_from:
-        state, start_epoch = load_checkpoint(run.resume_from, state)
+        # eval-only runs may restore params without the optimizer tree
+        # (their optimizer has no schedule); training resumes stay strict
+        state, start_epoch = load_checkpoint(
+            run.resume_from, state, allow_partial=bool(args.is_test)
+        )
         logger.info(f"Resumed checkpoint (start epoch {start_epoch})")
 
     if stage == 1 and takes_text:
@@ -572,20 +576,34 @@ def pipeline(args: Args):
                     containing=s1_rel,
                 )
                 s1_ckpt = os.path.join(args.logs, s1_name, s1_rel)
-            except FileNotFoundError:
+            except FileNotFoundError as s1_err:
                 if not args.resume:
                     raise
                 # resuming a stage-2 checkpoint restores the full classifier
                 # (frozen CLIP included); the stage-1 graft is only the
                 # bootstrap, so a missing stage-1 run is not fatal here
                 # (e.g. --is-test --resume latest in a logs dir whose
-                # newest runs are stage-2).
+                # newest runs are stage-2) — PROVIDED the resume actually
+                # resolves; checked after setup_train below.
                 logger.warning(
                     "no stage-1 run with a stage_1 checkpoint found; "
                     "relying on --resume to restore the stage-2 state"
                 )
+                s1_missing_err = s1_err
+            else:
+                s1_missing_err = None
+        else:
+            s1_missing_err = None
         run = setup_paths(args, run)
         run = setup_train(args, run, checkpoint_prefix=f"stage_{args.stage}_")
+        if s1_missing_err is not None and not run.resume_from:
+            # neither stage-1 weights nor a resumable stage-2 checkpoint:
+            # continuing would train/evaluate a randomly initialized CLIP
+            raise FileNotFoundError(
+                "stage 2 has nothing to start from: no stage-1 run with a "
+                f"stage_1 checkpoint ({s1_missing_err}) and --resume "
+                f"{args.resume!r} resolved to no checkpoint"
+            )
 
         # init then graft stage-1 weights (reference: pipeline.py:594-606)
         img = jnp.zeros((2, image_size, image_size, 3), policy.compute_dtype)

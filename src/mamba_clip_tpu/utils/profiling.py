@@ -96,7 +96,13 @@ def classify_op(name: str, hlo_line: str = "") -> str:
     if head in ("copy", "slice", "bitcast", "reshape", "tuple", "pad",
                 "transpose"):
         return f"{head} / layout"
-    if head in ("custom", "get", "infeed", "outfeed"):
+    if head == "custom":
+        # Pallas kernels lower to tpu_custom_call — the selective scan is
+        # the dominant op of the VSSM/medmamba models, not plumbing
+        if "tpu_custom_call" in hlo_line or "mosaic" in hlo_line.lower():
+            return "pallas kernel (custom-call)"
+        return "plumbing"
+    if head in ("get", "infeed", "outfeed"):
         return "plumbing"
     for pat, label in _SHAPE_CLASSES:
         if re.search(pat, hlo_line):
@@ -117,7 +123,12 @@ def attribute(
     hlo_text: str = "",
     steps: int = 1,
 ) -> List[Tuple[str, float, int]]:
-    """[(class, ms_per_step, ops_per_step)] sorted by time, descending."""
+    """[(class, ms_per_step, num_ops)] sorted by time, descending.
+
+    Durations are summed over all traced steps so ms divides by ``steps``;
+    op NAMES are already unique per step (load_device_op_times collapses
+    the per-step repetitions of each name), so the count does not.
+    """
     defs = _hlo_defs(hlo_text) if hlo_text else {}
     agg = collections.Counter()
     cnt = collections.Counter()
@@ -125,8 +136,7 @@ def attribute(
         c = classify_op(name, defs.get(name, ""))
         agg[c] += us
         cnt[c] += 1
-    return [(c, us / steps / 1e3, max(cnt[c] // steps, 1))
-            for c, us in agg.most_common()]
+    return [(c, us / steps / 1e3, cnt[c]) for c, us in agg.most_common()]
 
 
 def format_attribution(

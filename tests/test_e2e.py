@@ -260,6 +260,19 @@ def test_trained_stage2_submission_flow(tiny_build, tmp_path):
     assert len(df) == 12  # every ragged test row predicted
 
 
+def test_stage2_with_nothing_to_start_from_raises(tiny_build, tmp_path):
+    """--stage 2 --resume latest in an empty logs dir must hard-error, not
+    silently train a randomly initialized CLIP (the missing-stage-1
+    fallback is only legitimate when the resume actually resolves)."""
+    import pytest as _pytest
+
+    P = tiny_build
+    args = _args(tmp_path, name="e2e-s2-orphan", stage=2, num_classes=2,
+                 resume="latest", model="tiny", model_stage_1="tiny")
+    with _pytest.raises(FileNotFoundError, match="nothing to start from"):
+        P.pipeline(args)
+
+
 def test_results_jsonl_written(tiny_build, tmp_path):
     P = tiny_build
     args = _args(tmp_path, name="e2e-jsonl", stage=1)
