@@ -93,6 +93,11 @@ def load_device_op_times(trace_dir: str) -> Dict[str, float]:
 def classify_op(name: str, hlo_line: str = "") -> str:
     """Bucket an op by name and (when available) its HLO output shapes."""
     head = name.split(".")[0].split("-")[0]
+    if "self_attention" in name:
+        # VSSM's SS2D lives under a scope named self_attention (mirroring
+        # the reference's SS_Conv_SSM attribute, model.py:686) — these are
+        # the selective-scan stack's fusions, not transformer attention
+        return "SS2D / selective-scan stack"
     if head in ("copy", "slice", "bitcast", "reshape", "tuple", "pad",
                 "transpose"):
         return f"{head} / layout"
