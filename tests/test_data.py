@@ -71,6 +71,42 @@ class TestTokenizer:
         assert out.shape == (1, 8)
         assert out[0, -1] == HashTokenizer.SEP
 
+    def test_real_wordpiece_from_local_path(self, tmp_path):
+        """A local HF vocab loads the REAL WordPiece tokenizer (the path
+        converted-BiomedCLIP runs must use; reference builds it via
+        open_clip get_tokenizer, model.py:1279)."""
+        pytest.importorskip("transformers")
+        from mamba_clip_tpu.data.tokenizer import (
+            HFTokenizerAdapter,
+            get_tokenizer,
+        )
+
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "a", "lesion", "on", "the", "torso", "##s"]
+        (tmp_path / "vocab.txt").write_text("\n".join(vocab) + "\n")
+        (tmp_path / "tokenizer_config.json").write_text(
+            '{"tokenizer_class": "BertTokenizer", "do_lower_case": true}'
+        )
+        tok = get_tokenizer(str(tmp_path), context_length=12,
+                            require_real=True)
+        assert isinstance(tok, HFTokenizerAdapter)
+        out = tok(["a lesion on the torso", "lesions"])
+        assert out.shape == (2, 12) and out.dtype == np.int32
+        cls_id, sep_id, pad_id = 2, 3, 0
+        assert out[0, 0] == cls_id
+        # known vocab words map to their vocab indices
+        assert list(out[0, 1:6]) == [5, 6, 7, 8, 9]
+        assert out[0, 6] == sep_id and out[0, 7] == pad_id
+        # wordpiece continuation: "lesions" -> "lesion" + "##s"
+        assert list(out[1, 1:3]) == [6, 10]
+
+    def test_hub_name_requires_real_raises(self):
+        from mamba_clip_tpu.data.tokenizer import get_tokenizer
+
+        with pytest.raises(RuntimeError, match="WordPiece|real"):
+            get_tokenizer("some-hub/name", context_length=8,
+                          require_real=True)
+
 
 class TestSampling:
     def test_probability_modes(self):
