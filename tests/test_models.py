@@ -69,6 +69,55 @@ def test_vssm_classifier(rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_mambavision_classifier(rng):
+    """Classifier over a Mamba-vision backbone's pooled features
+    (reference: MambaVisionClassifier, model.py:1208-1254): feature_dim =
+    dims[-1], frozen-backbone gradients stop at the features."""
+    from mamba_clip_tpu.models.heads import MambaVisionClassifier
+
+    backbone = VSSM(
+        patch_size=4, num_classes=0, depths=(1, 1), dims=(8, 16),
+        d_state=4, scan_impl="xla",
+    )
+    m = MambaVisionClassifier(backbone=backbone, num_classes=2,
+                              freeze_backbone=True)
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    v = m.init({"params": rng, "dropout": rng}, x)
+    logits = m.apply(v, x)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # frozen backbone: loss gradients reach the head only
+    def loss(params):
+        out = m.apply({**v, "params": params}, x)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    head_norm = sum(
+        float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g["fc"])
+    )
+    bb_norm = sum(
+        float(jnp.sum(jnp.abs(l)))
+        for k, sub in g.items() if k != "fc"
+        for l in jax.tree_util.tree_leaves(sub)
+    )
+    assert head_norm > 0 and bb_norm == 0
+
+
+def test_build_classifier_zoo():
+    """HPO model zoo names (reference: integrations/optuna.py:85-114)."""
+    from mamba_clip_tpu.models import build_classifier
+    from mamba_clip_tpu.models.heads import MambaVisionClassifier
+    from mamba_clip_tpu.models.vssm import VSSM as VssmCls
+
+    assert isinstance(build_classifier("vssm"), VssmCls)
+    assert isinstance(build_classifier("medmamba"), VssmCls)
+    mv = build_classifier("mambavision")
+    assert isinstance(mv, MambaVisionClassifier)
+    with pytest.raises(ValueError, match="not recognized"):
+        build_classifier("resnet50")
+
+
 def test_clip_output_contract(tiny_clip):
     """Output dict matches the reference ClipModel (model.py:1047-1058)."""
     model, variables = tiny_clip
