@@ -147,6 +147,7 @@ def attribute(
 def format_attribution(
     rows: List[Tuple[str, float, int]],
     top_ops: Optional[List[Tuple[str, float]]] = None,
+    hlo_text: str = "",
 ) -> str:
     total = sum(r[1] for r in rows)
     out = [f"{'ms/step':>9s}  {'%':>5s}  {'ops':>5s}  class"]
@@ -155,7 +156,9 @@ def format_attribution(
                    f"{n:5d}  {c}")
     out.append(f"{total:9.3f}  100.0  {'':5s}  TOTAL on-device")
     if top_ops:
+        defs = _hlo_defs(hlo_text) if hlo_text else {}
         out.append("\nhottest individual ops:")
         for name, ms in top_ops:
-            out.append(f"{ms:9.3f}  {name[:80]}")
+            cls = classify_op(name, defs.get(name, ""))
+            out.append(f"{ms:9.3f}  {name[:48]:48s} [{cls}]")
     return "\n".join(out)

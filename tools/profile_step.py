@@ -71,7 +71,9 @@ def main():
     top = sorted(times.items(), key=lambda kv: -kv[1])[: a.top]
     print(f"model={a.model} batch={a.batch} precision={a.precision} "
           f"steps={a.steps} loss={loss:.4f} wall={wall * 1e3:.1f} ms/step\n")
-    print(format_attribution(rows, [(n, us / a.steps / 1e3) for n, us in top]))
+    print(format_attribution(
+        rows, [(n, us / a.steps / 1e3) for n, us in top], hlo_text=hlo
+    ))
     if a.trace_dir is None:
         shutil.rmtree(trace_dir, ignore_errors=True)
     else:
