@@ -91,6 +91,59 @@ def test_evaluate_covers_every_sample(tmp_path):
     assert len(rows) == n + 1  # header + one prediction per sample
 
 
+class _LabelFree:
+    """Dataset adapter: same items minus 'target' (the real challenge test
+    metadata has no target column — reference data.py:279-282)."""
+
+    def __init__(self, ds):
+        self._ds = ds
+        self.ids = list(getattr(ds, "ids", ds.meta.index))
+        self.targets = None
+
+    def __len__(self):
+        return len(self._ds)
+
+    def __getitem__(self, i):
+        item = dict(self._ds[i])
+        item.pop("target", None)
+        return item
+
+
+def test_evaluate_label_free_multihost_combine(tmp_path):
+    """Label-free test split through the world_size>1 combine path
+    (process_allgather over one real process): no val_loss/pAUC, full
+    submission, padded-allgather branch must not touch absent targets."""
+    n, bs = 10, 4
+    rng = jax.random.PRNGKey(0)
+    model, variables = _tiny_classifier(rng)
+
+    from mamba_clip_tpu.data.tokenizer import HashTokenizer
+
+    ds = _LabelFree(
+        SyntheticIsicDataset(n=n, staging_size=32, is_train=False, seed=0,
+                             tokenizer=HashTokenizer(context_length=16))
+    )
+    loader = BatchLoader(ds, batch_size=bs, shuffle=False, drop_last=False)
+    data = {"test": DataInfo(loader=loader)}
+
+    args = Args(batch_size=bs, epochs=0, val_frequency=0, is_test=True,
+                precision="fp32", log_every_n_steps=100)
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=False)
+    run = RunState(rank=0, world_size=2)  # exercises the combine branch
+    run.checkpoint_path = str(tmp_path)
+
+    metrics = evaluate(model, variables, data, epoch=0, args=args,
+                       policy=policy, tcfg=tcfg, run_state=run, stage=2,
+                       takes_text=True)
+    assert "val_loss" not in metrics and "partial_auc" not in metrics
+    assert metrics["num_samples"] == n
+    sub = os.path.join(str(tmp_path), "submission.csv")
+    with open(sub) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == n + 1
+
+
 def test_bf16_precision_casts_params():
     """--precision bf16/pure_bf16 must actually cast the param pytree
     (round-1: the flag silently behaved like amp; VERDICT Weak #4)."""
