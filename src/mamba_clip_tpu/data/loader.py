@@ -261,15 +261,34 @@ def get_data(
 
     data = {}
 
-    def make(meta, is_train: bool):
+    def make(meta, is_train: bool, split: str = "train"):
+        # Stage-1 contrastive text carries the diagnosis sentence; stage-2
+        # and the unlabeled test split never do (reference: data.py:570,600
+        # passes include_target=args.stage == 1 to train/val and leaves the
+        # test dataset at the False default).
+        include_target = (
+            getattr(args, "stage", 1) == 1 and split != "test"
+        )
+        # --train/val-num-samples cap the split size. (The reference only
+        # *parses* these flags — cli/main.py:13-14 — and never reads them;
+        # honoring them here gives the flag its open_clip meaning instead
+        # of a silent no-op.)
+        cap = (
+            args.train_num_samples if split == "train"
+            else args.val_num_samples if split == "val"
+            else None
+        )
         if getattr(args, "synthetic_data", False):
             n = len(meta) if meta is not None else (
                 args.train_num_samples or 2048 if is_train
                 else args.val_num_samples or 512
             )
+            if cap:
+                n = min(int(n), int(cap))
             ds = SyntheticIsicDataset(
                 n=int(n), tokenizer=tokenizer, staging_size=staging_size,
-                is_train=is_train, seed=args.seed,
+                is_train=is_train, include_target=include_target,
+                seed=args.seed,
             )
         else:
             import os
@@ -282,9 +301,12 @@ def get_data(
                 args.data_path, "train-image", "image"
             )
             path = hdf5 if os.path.exists(hdf5) else img_dir
+            if cap and meta is not None and len(meta) > int(cap):
+                meta = meta.iloc[: int(cap)]
             ds = IsicChallengeDataset(
                 path, meta, tokenizer=tokenizer, staging_size=staging_size,
-                is_train=is_train, small_test=args.small_test, seed=args.seed,
+                is_train=is_train, include_target=include_target,
+                small_test=args.small_test, seed=args.seed,
                 cache_dir=getattr(args, "cache_staging", None),
             )
         loader = BatchLoader(
@@ -313,10 +335,10 @@ def get_data(
 
     if train_metadata is not None or getattr(args, "synthetic_data", False):
         if not args.is_test:
-            data["train"] = make(train_metadata, is_train=True)
+            data["train"] = make(train_metadata, is_train=True, split="train")
     if val_metadata is not None or getattr(args, "synthetic_data", False):
         if not args.is_test:
-            data["val"] = make(val_metadata, is_train=False)
+            data["val"] = make(val_metadata, is_train=False, split="val")
     if test_metadata is not None:
-        data["test"] = make(test_metadata, is_train=False)
+        data["test"] = make(test_metadata, is_train=False, split="test")
     return data

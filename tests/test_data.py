@@ -228,3 +228,80 @@ class TestLoader:
                 break
             time.sleep(0.05)
         assert not extra, f"producer threads leaked: {extra}"
+
+
+class _CaptureTokenizer:
+    """Records every text it tokenizes; returns fixed-shape tokens."""
+
+    def __init__(self):
+        self.texts = []
+
+    def __call__(self, text):
+        self.texts.append(text)
+        return np.zeros((1, 8), np.int32)
+
+
+class TestGetDataWiring:
+    """get_data must wire include_target=(stage==1) to train/val and never
+    to the test split (reference: data.py:570,600 and the test dataset's
+    False default), and honor --train/val-num-samples caps."""
+
+    def _texts(self, stage, split="train", is_test=False):
+        from mamba_clip_tpu.data import get_data
+
+        tok = _CaptureTokenizer()
+        args = Args(
+            synthetic_data=True, stage=stage, is_test=is_test, seed=0,
+            batch_size=4, train_num_samples=16, val_num_samples=16,
+            workers=1, epochs=1,
+        )
+        kw = {}
+        if is_test:
+            kw["test_metadata"] = synthetic_metadata(16, seed=3)
+        data = get_data(args, tokenizer=tok, staging_size=8, **kw)
+        loader = data[split].loader
+        for _ in loader:
+            pass
+        return loader.dataset, tok.texts
+
+    def _has_dx(self, ds, texts):
+        dxs = set(ds.meta["iddx_1"])
+        return [any(dx in t for dx in dxs) for t in texts]
+
+    def test_stage1_train_val_carry_diagnosis(self):
+        for split in ("train", "val"):
+            ds, texts = self._texts(stage=1, split=split)
+            assert texts and all(self._has_dx(ds, texts)), split
+
+    def test_stage2_drops_diagnosis(self):
+        for split in ("train", "val"):
+            ds, texts = self._texts(stage=2, split=split)
+            assert texts and not any(self._has_dx(ds, texts)), split
+
+    def test_test_split_never_has_diagnosis(self):
+        ds, texts = self._texts(stage=1, split="test", is_test=True)
+        assert texts and not any(self._has_dx(ds, texts))
+
+    def test_num_samples_caps(self):
+        from mamba_clip_tpu.data import get_data
+
+        args = Args(
+            synthetic_data=True, stage=1, seed=0, batch_size=4,
+            train_num_samples=12, val_num_samples=8, workers=1, epochs=1,
+        )
+        data = get_data(args, staging_size=8)
+        assert len(data["train"].loader.dataset) == 12
+        assert len(data["val"].loader.dataset) == 8
+
+    def test_num_samples_caps_real_metadata(self):
+        # the real-data path trims the metadata frame before dataset build
+        # (dataset init never touches the disk, so a fake path suffices)
+        from mamba_clip_tpu.data import get_data
+
+        meta = synthetic_metadata(32, seed=1)
+        args = Args(
+            synthetic_data=False, stage=1, seed=0, batch_size=4,
+            data_path="/nonexistent/", train_num_samples=10, workers=1,
+        )
+        data = get_data(args, train_metadata=meta, staging_size=8)
+        assert len(data["train"].loader.dataset) == 10
