@@ -313,11 +313,21 @@ def make_classifier_train_step(
 ):
     """Stage-2 CE train step (frozen-CLIP ClipClassifier or VSSM/medmamba).
 
-    The model is any module whose apply(image, text?) returns logits."""
+    The model is any module whose apply(image, text?) returns logits.
+
+    ``--accum-freq N`` splits the batch into N equal micro-batches and
+    averages their CE gradients (reference: train.py:199-290 applies
+    accum_freq to any model). For equal-size micro-batches the averaged
+    mean-CE gradient equals the full-batch gradient exactly (for
+    *class-weighted* CE it matches the reference's accum semantics —
+    average of per-micro weighted means — which differs from one
+    full-batch weighted mean when class mix varies across micro-batches),
+    so unlike the contrastive path no feature bank is needed."""
     weights = (
         jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
     )
     ls = policy.loss_scale
+    accum = max(int(args.accum_freq), 1)
 
     def forward(params, batch_stats, images, tokens, rngs):
         variables = {"params": params}
@@ -348,16 +358,53 @@ def make_classifier_train_step(
             )
         rngs = {"dropout": r_drop}
 
-        def loss_fn(params):
-            logits, new_stats = forward(params, state.batch_stats, images, tokens, rngs)
-            tgt = soft if soft is not None else targets
-            l = cross_entropy_loss(logits, tgt, weight=weights)
+        tgt = soft if soft is not None else targets
+
+        def loss_fn(params, stats, im, tk, tg):
+            logits, new_stats = forward(params, stats, im, tk, rngs)
+            l = cross_entropy_loss(logits, tg, weight=weights)
             return l * ls, new_stats
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        loss = loss / ls
+        if accum == 1:
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, images, tokens, tgt)
+            loss = loss / ls
+        else:
+            if images.shape[0] % accum:
+                raise ValueError(
+                    f"--accum-freq {accum} must divide the per-host batch "
+                    f"size {images.shape[0]} (micro-batches are equal-size "
+                    "so averaged grads match the full batch exactly)"
+                )
+            mb = images.shape[0] // accum
+            im_mb = images.reshape(accum, mb, *images.shape[1:])
+            tk_mb = (
+                tokens.reshape(accum, mb, *tokens.shape[1:])
+                if tokens is not None else None
+            )
+            tg_mb = tgt.reshape(accum, mb, *tgt.shape[1:])
+
+            def micro(carry, j):
+                g_acc, loss_acc, stats = carry
+                im_j = jax.lax.dynamic_index_in_dim(im_mb, j, keepdims=False)
+                tk_j = (
+                    jax.lax.dynamic_index_in_dim(tk_mb, j, keepdims=False)
+                    if tk_mb is not None else None
+                )
+                tg_j = jax.lax.dynamic_index_in_dim(tg_mb, j, keepdims=False)
+                (l, new_stats), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, stats, im_j, tk_j, tg_j)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + l, new_stats), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum, new_stats), _ = jax.lax.scan(
+                micro, (zero_g, 0.0, state.batch_stats), jnp.arange(accum)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss_sum / (ls * accum)
         if ls != 1.0:
             grads = jax.tree_util.tree_map(lambda g: g / ls, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

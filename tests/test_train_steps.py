@@ -169,3 +169,64 @@ def test_balanced_mixup_classifier(setup):
     mix_batch["mix_target"] = batch["target"][::-1]
     new_state, metrics = fn(state, mix_batch, rng)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_classifier_accum_matches_full_batch(setup):
+    """accum_freq=2 on the classifier path must equal accum_freq=1 at the
+    same global batch — exact fp32 loss AND updated-params agreement for
+    unweighted mean CE (VERDICT r2 item 3; reference train.py:199-290
+    applies accum to any model)."""
+    from mamba_clip_tpu.models.heads import ClipClassifier
+
+    model, variables, batch, rng = setup
+    head = ClipClassifier(clip=model.copy(name=None), num_classes=2)
+    hv = head.init({"params": rng}, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 16), jnp.int32))
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+
+    def run(accum):
+        args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=0,
+                    precision="fp32", num_classes=2, accum_freq=accum)
+        schedule = create_schedule(args, 10)
+        tx = build_optimizer(args, schedule)
+        state = create_train_state(hv["params"], tx, {})
+        fn = jax.jit(make_classifier_train_step(
+            model=head, tx=tx, policy=policy, args=args, tcfg=tcfg,
+            schedule=schedule, num_classes=2, takes_text=True,
+        ))
+        return fn(state, batch, rng)
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    leaves2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_classifier_accum_indivisible_raises(setup):
+    """--accum-freq that does not divide the batch must fail loudly, never
+    silently ignore (VERDICT r2: no silent accum ignore)."""
+    from mamba_clip_tpu.models.heads import ClipClassifier
+
+    model, variables, batch, rng = setup
+    head = ClipClassifier(clip=model.copy(name=None), num_classes=2)
+    hv = head.init({"params": rng}, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 16), jnp.int32))
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=0,
+                precision="fp32", num_classes=2, accum_freq=3)
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(hv["params"], tx, {})
+    fn = jax.jit(make_classifier_train_step(
+        model=head, tx=tx, policy=policy, args=args, tcfg=tcfg,
+        schedule=schedule, num_classes=2, takes_text=True,
+    ))
+    with pytest.raises(ValueError, match="accum-freq"):
+        fn(state, batch, rng)
