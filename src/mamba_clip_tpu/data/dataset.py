@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import io
 import os
+import threading
 from typing import Optional
 
 import numpy as np
@@ -137,7 +138,13 @@ class IsicChallengeDataset:
         self.include_target = include_target
         self.seed = seed
         self.epoch = 0
-        self._h5 = None
+        # per-thread h5py handles: SWMR protects cross-PROCESS readers, but
+        # concurrent reads on one handle from the loader's ThreadPoolExecutor
+        # are unsafe unless libhdf5 was built threadsafe (the reference
+        # sidesteps this with DataLoader worker processes, data.py:287).
+        self._h5_local = threading.local()
+        self._h5_all: list = []
+        self._h5_all_lock = threading.Lock()
         self._token_memo = {} if not is_train else None  # eval text is deterministic
         self.cache = (
             StagingCache(
@@ -157,11 +164,15 @@ class IsicChallengeDataset:
         return len(self.ids)
 
     def _h5_file(self):
-        if self._h5 is None:
+        f = getattr(self._h5_local, "file", None)
+        if f is None:
             import h5py
 
-            self._h5 = h5py.File(self.data_path, "r", libver="latest", swmr=True)
-        return self._h5
+            f = h5py.File(self.data_path, "r", libver="latest", swmr=True)
+            self._h5_local.file = f
+            with self._h5_all_lock:
+                self._h5_all.append(f)
+        return f
 
     def _load_image(self, isic_id: str, idx: Optional[int] = None) -> np.ndarray:
         if self.cache is not None and idx is not None:
@@ -211,9 +222,14 @@ class IsicChallengeDataset:
         return out
 
     def close(self):
-        if self._h5 is not None:
-            self._h5.close()
-            self._h5 = None
+        with self._h5_all_lock:
+            files, self._h5_all = self._h5_all, []
+        for f in files:
+            try:
+                f.close()
+            except Exception:
+                pass
+        self._h5_local = threading.local()
 
 
 def synthetic_metadata(n: int, seed: int = 0) -> pd.DataFrame:

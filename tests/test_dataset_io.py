@@ -78,3 +78,36 @@ def test_dataset_with_cache_identical(tmp_path, meta):
     second = ds[2]["image"]  # served from memmap
     np.testing.assert_array_equal(first, second)
     assert ds.cache.done[2] == 1
+
+
+def test_hdf5_threaded_reads_match_single_thread(tmp_path, meta):
+    """Multi-threaded loader reads over HDF5 must (a) equal the
+    single-thread read and (b) use one h5py handle PER THREAD — SWMR does
+    not make a single handle safe under concurrent reads (VERDICT r2
+    item 4; the reference uses worker processes, data.py:287)."""
+    h5py = pytest.importorskip("h5py")
+    from PIL import Image
+
+    from mamba_clip_tpu.data import BatchLoader
+
+    big = synthetic_metadata(64, seed=7)
+    rng = np.random.default_rng(2)
+    path = str(tmp_path / "train-image.hdf5")
+    with h5py.File(path, "w") as f:
+        for isic_id in big["isic_id"]:
+            arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG")
+            f[isic_id] = np.void(buf.getvalue())
+
+    ds = IsicChallengeDataset(path, big, staging_size=16)
+    expected = [ds[i]["image"] for i in range(len(ds))]
+
+    loader = BatchLoader(ds, batch_size=8, seed=0, workers=4,
+                         shuffle=False, drop_last=False)
+    got = np.concatenate([b["image"] for b in loader])
+    np.testing.assert_array_equal(got, np.stack(expected))
+    # the pool actually opened >1 per-thread handle
+    assert len(ds._h5_all) > 1
+    ds.close()
+    assert ds._h5_all == []
