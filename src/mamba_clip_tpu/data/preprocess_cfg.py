@@ -35,7 +35,12 @@ def get_transform_config(
     is_train: bool = False,
     mean: Optional[Sequence[float]] = None,
     std: Optional[Sequence[float]] = None,
+    interpolation: Optional[str] = None,
 ) -> TransformConfig:
+    """``interpolation`` carries --image-interpolation (reference passes it
+    into image_transform_v2 via force_image_interpolation, data.py:77-95);
+    an aug_cfg 'interpolation' entry overrides it, matching timm's
+    aug-cfg-beats-default precedence."""
     aug = dict(aug_cfg or {})
     return TransformConfig(
         image_size=image_size,
@@ -47,5 +52,5 @@ def get_transform_config(
         ratio=tuple(aug.get("ratio", (0.75, 4.0 / 3.0))),
         hflip=float(aug.get("hflip", 0.5)),
         re_prob=float(aug.get("re_prob", 0.0)),
-        interpolation=str(aug.get("interpolation", "bilinear")),
+        interpolation=str(aug.get("interpolation", interpolation or "bilinear")),
     )

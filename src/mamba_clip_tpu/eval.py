@@ -63,6 +63,7 @@ def make_eval_step(model, policy, tcfg, stage: int = 1, class_weights=None,
         images = eval_preprocess(
             batch["image"], out_size=tcfg.image_size, mean=tcfg.mean,
             std=tcfg.std, out_dtype=policy.compute_dtype,
+            interpolation=getattr(tcfg, "interpolation", "bilinear"),
         )
         out = model.apply(variables, image=images, text=batch["tokens"],
                           deterministic=True)
@@ -75,6 +76,7 @@ def make_eval_step(model, policy, tcfg, stage: int = 1, class_weights=None,
         images = eval_preprocess(
             batch["image"], out_size=tcfg.image_size, mean=tcfg.mean,
             std=tcfg.std, out_dtype=policy.compute_dtype,
+            interpolation=getattr(tcfg, "interpolation", "bilinear"),
         )
         if takes_text:
             return model.apply(

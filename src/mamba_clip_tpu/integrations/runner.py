@@ -56,10 +56,11 @@ class TrialRunner:
         tcfg_train = get_transform_config(
             parse_aug_cfg(args.aug_cfg), image_size, is_train=True,
             mean=args.image_mean, std=args.image_std,
+            interpolation=args.image_interpolation,
         )
         tcfg_val = get_transform_config(
             None, image_size, is_train=False, mean=args.image_mean,
-            std=args.image_std,
+            std=args.image_std, interpolation=args.image_interpolation,
         )
         if model_factory is not None:
             self.model = model_factory(args)

@@ -47,6 +47,64 @@ def _separable_bilinear(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> j
     return out
 
 
+def _separable_nearest(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    H, W, _ = img.shape
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, H - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, W - 1)
+    return img[yi][:, xi]
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.5):
+    """4-tap cubic convolution weights at offsets (-1, 0, 1, 2) for
+    fractional position t ∈ [0, 1). a=-0.5 is the Catmull-Rom spline PIL
+    uses (the reference's timm/PIL transform stack resamples PIL images,
+    reference: data.py:77-95)."""
+    def k(x):
+        ax = jnp.abs(x)
+        w1 = (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0
+        w2 = a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a
+        return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+    return [k(t + 1.0), k(t), k(t - 1.0), k(t - 2.0)]
+
+
+def _separable_bicubic(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Catmull-Rom bicubic as two separable 4-tap gathers (border replicate)."""
+    H, W, _ = img.shape
+    yf = jnp.floor(ys)
+    wy = _cubic_weights(ys - yf)
+    rows = sum(
+        img[jnp.clip(yf.astype(jnp.int32) + o, 0, H - 1)] * w[:, None, None]
+        for o, w in zip((-1, 0, 1, 2), wy)
+    )
+    xf = jnp.floor(xs)
+    wx = _cubic_weights(xs - xf)
+    return sum(
+        rows[:, jnp.clip(xf.astype(jnp.int32) + o, 0, W - 1)] * w[None, :, None]
+        for o, w in zip((-1, 0, 1, 2), wx)
+    )
+
+
+_RESAMPLERS = {
+    "nearest": _separable_nearest,
+    "bilinear": _separable_bilinear,
+    "bicubic": _separable_bicubic,
+}
+
+
+def _resample(img, ys, xs, interpolation: str):
+    """--image-interpolation dispatch (reference threads the flag into the
+    timm/torchvision transform stack, data.py:77-95; 'random' is timm's
+    per-image bilinear/bicubic choice and is resolved by the caller)."""
+    try:
+        return _RESAMPLERS[interpolation](img, ys, xs)
+    except KeyError:
+        raise ValueError(
+            f"unknown interpolation '{interpolation}'; one of "
+            f"{sorted(_RESAMPLERS)} or 'random'"
+        ) from None
+
+
 def _crop_coords(key, H, W, out_size, scale, ratio):
     """RandomResizedCrop geometry (timm semantics): sample area fraction and
     aspect ratio, fall back to center crop when the box does not fit."""
@@ -100,7 +158,8 @@ def _normalize(x, mean, std):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "out_size", "scale", "ratio", "hflip", "re_prob", "mean", "std", "out_dtype",
+        "out_size", "scale", "ratio", "hflip", "re_prob", "mean", "std",
+        "out_dtype", "interpolation",
     ),
 )
 def train_preprocess(
@@ -114,20 +173,29 @@ def train_preprocess(
     mean: Sequence[float] = OPENAI_MEAN,
     std: Sequence[float] = OPENAI_STD,
     out_dtype=jnp.bfloat16,
+    interpolation: str = "bilinear",
 ) -> jnp.ndarray:
     """RandomResizedCrop + flip + normalize (+ random erase) on device.
 
     images_u8: (B, H, W, 3) uint8. Returns (B, out_size, out_size, 3).
     """
     B, H, W, _ = images_u8.shape
+    random_interp = interpolation == "random"  # timm: bilinear|bicubic per image
 
     def one(img_u8, k):
-        kc, kf, ke = jax.random.split(k, 3)
+        kc, kf, ke, ki = jax.random.split(k, 4)
         img = img_u8.astype(jnp.float32) / 255.0
         ys, xs = _crop_coords(kc, H, W, out_size, scale, ratio)
         flip = jax.random.uniform(kf, ()) < hflip
         xs = jnp.where(flip, xs[::-1], xs)
-        out = _separable_bilinear(img, ys, xs)
+        if random_interp:
+            out = jnp.where(
+                jax.random.bernoulli(ki),
+                _separable_bilinear(img, ys, xs),
+                _separable_bicubic(img, ys, xs),
+            )
+        else:
+            out = _resample(img, ys, xs, interpolation)
         out = _normalize(out, mean, std)
         if re_prob > 0.0:
             out = _erase(out, ke, re_prob, out_size)
@@ -138,7 +206,8 @@ def train_preprocess(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_size", "mean", "std", "out_dtype")
+    jax.jit,
+    static_argnames=("out_size", "mean", "std", "out_dtype", "interpolation"),
 )
 def eval_preprocess(
     images_u8: jnp.ndarray,
@@ -146,6 +215,7 @@ def eval_preprocess(
     mean: Sequence[float] = OPENAI_MEAN,
     std: Sequence[float] = OPENAI_STD,
     out_dtype=jnp.bfloat16,
+    interpolation: str = "bilinear",
 ) -> jnp.ndarray:
     """Center resize + normalize (host already did keep-ratio resize to the
     staging size; this is the final ResizeKeepRatio→CenterCrop composite,
@@ -155,5 +225,6 @@ def eval_preprocess(
     side = min(H, W)
     ys = (H - side) / 2 + (jnp.arange(out_size) + 0.5) * (side / out_size) - 0.5
     xs = (W - side) / 2 + (jnp.arange(out_size) + 0.5) * (side / out_size) - 0.5
-    out = jax.vmap(lambda im: _separable_bilinear(im, ys, xs))(img)
+    interp = "bilinear" if interpolation == "random" else interpolation
+    out = jax.vmap(lambda im: _resample(im, ys, xs, interp))(img)
     return _normalize(out, mean, std).astype(out_dtype)

@@ -81,7 +81,18 @@ def init_run(args: Args):
         distributed=world > 1,
         device=jax.devices()[0].platform,
     )
-    logger_setup(rank=rank)
+    # --debug: DEBUG log level (reference: pipeline.py:108 sets
+    # args.log_level = DEBUG when args.debug); the wandb.watch(model)
+    # analog (reference: pipeline.py:62-63) is per-subtree param/grad
+    # norms added to the step metrics (train.py debug_grad_stats) — JAX
+    # has no module hooks, so the histograms become named norm scalars.
+    import logging as _logging
+
+    logger_setup(
+        rank=rank,
+        log_level=_logging.DEBUG if getattr(args, "debug", False)
+        else _logging.INFO,
+    )
     mesh = create_mesh(
         MeshSpec(fsdp=getattr(args, "mesh_fsdp", 1) or 1,
                  model=getattr(args, "mesh_model", 1) or 1)
@@ -468,11 +479,9 @@ def _build_data(args: Args, run: RunState, tokenizer, tcfg_train, tcfg_val):
 def pipeline(args: Args):
     """Two-stage dispatch (reference: pipeline.py:530-639)."""
     run, mesh = init_run(args)
-    if args.torchscript or args.torchcompile:
-        logger.info(
-            "--torchscript/--torchcompile accepted for CLI parity and "
-            "ignored: the whole train step is XLA-jit-compiled"
-        )
+    from .config import warn_ignored_flags
+
+    warn_ignored_flags(args, logger)
     args = args.replace(lr=args.lr * run.world_size)  # pipeline.py:532
     policy = get_policy(args.precision)
     rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), run.rank)
@@ -482,10 +491,12 @@ def pipeline(args: Args):
     image_size = (args.force_image_size or [224])[0]
     aug = parse_aug_cfg(args.aug_cfg)
     tcfg_train = get_transform_config(
-        aug, image_size, is_train=True, mean=args.image_mean, std=args.image_std
+        aug, image_size, is_train=True, mean=args.image_mean,
+        std=args.image_std, interpolation=args.image_interpolation,
     )
     tcfg_val = get_transform_config(
-        None, image_size, is_train=False, mean=args.image_mean, std=args.image_std
+        None, image_size, is_train=False, mean=args.image_mean,
+        std=args.image_std, interpolation=args.image_interpolation,
     )
 
     metrics = None

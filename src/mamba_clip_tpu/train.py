@@ -106,12 +106,25 @@ def _mixup(rng, args, images, tokens, targets, mix_images, mix_tokens, mix_targe
     return images.astype(images.dtype), tokens, soft
 
 
+def _debug_grad_stats(params, grads) -> Dict[str, jnp.ndarray]:
+    """Per-top-level-subtree param/grad norms — the wandb.watch(model)
+    analog (reference: pipeline.py:62-63 logs param/grad histograms via
+    torch hooks; JAX traced fns have no hooks, so --debug surfaces named
+    norm scalars through the ordinary metric sinks instead)."""
+    stats = {}
+    for k in params:
+        stats[f"gnorm/{k}"] = optax.global_norm(grads[k])
+        stats[f"pnorm/{k}"] = optax.global_norm(params[k])
+    return stats
+
+
 def _preprocess_train(batch_images_u8, rng, tcfg, policy: Policy):
     return train_preprocess(
         batch_images_u8, rng,
         out_size=tcfg.image_size, scale=tcfg.scale, ratio=tcfg.ratio,
         hflip=tcfg.hflip, re_prob=tcfg.re_prob, mean=tcfg.mean, std=tcfg.std,
         out_dtype=policy.compute_dtype,
+        interpolation=getattr(tcfg, "interpolation", "bilinear"),
     )
 
 
@@ -293,6 +306,8 @@ def make_clip_train_step(
             "grad_norm": optax.global_norm(grads),
             "logit_scale": out["logit_scale"],
         }
+        if getattr(args, "debug", False):
+            metrics.update(_debug_grad_stats(state.params, grads))
         if schedule is not None:
             metrics["lr"] = schedule(state.step)
         return new_state, metrics
@@ -414,6 +429,8 @@ def make_classifier_train_step(
             batch_stats=new_stats,
         )
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if getattr(args, "debug", False):
+            metrics.update(_debug_grad_stats(state.params, grads))
         if schedule is not None:
             metrics["lr"] = schedule(state.step)
         return new_state, metrics

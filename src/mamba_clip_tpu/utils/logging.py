@@ -11,7 +11,6 @@ with the JAX process index ("rank") in multi-host runs.
 
 from __future__ import annotations
 
-import functools
 import json
 import logging
 import os
@@ -149,11 +148,6 @@ def logger_setup(
         fh.setFormatter(_build_formatter(use_color=False))
         root.addHandler(fh)
     return root
-
-
-@functools.lru_cache(None)
-def _warn_once_cache(key: str) -> bool:
-    return True
 
 
 def warning_once(logger: logging.Logger, msg: str) -> None:

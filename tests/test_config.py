@@ -74,3 +74,35 @@ def test_dump_and_replace(tmp_path):
     p = tmp_path / "params.txt"
     a.dump(str(p))
     assert "seed: 3" in p.read_text()
+
+
+class TestIgnoredFlags:
+    def test_ignored_names_are_real_flags(self):
+        from mamba_clip_tpu.config import IGNORED_FLAGS
+
+        import dataclasses
+        names = {f.name for f in dataclasses.fields(Args)}
+        assert set(IGNORED_FLAGS) <= names
+
+    def test_warn_ignored_flags(self):
+        import logging
+
+        from mamba_clip_tpu.config import warn_ignored_flags
+
+        logger = logging.getLogger("test-ignored")
+        with_flag = Args(horovod=True, torchcompile=True)
+        hit = warn_ignored_flags(with_flag, logger)
+        assert set(hit) == {"horovod", "torchcompile"}
+        assert warn_ignored_flags(Args(), logger) == []
+
+
+def test_transform_config_interpolation_wiring():
+    from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
+
+    t = get_transform_config(None, 224, interpolation="bicubic")
+    assert t.interpolation == "bicubic"
+    # aug_cfg entry wins over the flag (timm precedence)
+    t = get_transform_config({"interpolation": "nearest"}, 224,
+                             interpolation="bicubic")
+    assert t.interpolation == "nearest"
+    assert get_transform_config(None, 224).interpolation == "bilinear"

@@ -230,3 +230,18 @@ def test_classifier_accum_indivisible_raises(setup):
     ))
     with pytest.raises(ValueError, match="accum-freq"):
         fn(state, batch, rng)
+
+
+def test_debug_adds_grad_stats(setup):
+    """--debug surfaces per-subtree param/grad norms — the wandb.watch
+    analog (reference pipeline.py:62-63)."""
+    model, variables, batch, rng = setup
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1,
+                precision="fp32", debug=True)
+    state, fn = _step(model, variables, args)
+    _, metrics = fn(state, batch, rng)
+    keys = set(metrics)
+    assert any(k.startswith("gnorm/") for k in keys)
+    assert any(k.startswith("pnorm/") for k in keys)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
