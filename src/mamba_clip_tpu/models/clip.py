@@ -136,6 +136,37 @@ def _mark(tree, value: bool):
     return jax.tree_util.tree_map(lambda _: value, tree)
 
 
+def _split_tower(tower: dict, layer_prefix: str, always_prefixes, post_keys):
+    """Partition a tower's top-level keys into (stem, [block...], post,
+    always-trainable) following the reference's group model."""
+    blocks = sorted(
+        [
+            k for k in tower
+            if k.startswith(layer_prefix) and k[len(layer_prefix):].isdigit()
+        ],
+        key=lambda s: int(s[len(layer_prefix):]),
+    )
+    always = [k for k in tower if any(k.startswith(a) for a in always_prefixes)]
+    post = [k for k in tower if k in post_keys]
+    stem = [
+        k for k in tower if k not in blocks and k not in always and k not in post
+    ]
+    return stem, blocks, post, always
+
+
+def _ln_leaf_mask(subtree):
+    """True only on leaves whose path crosses a LayerNorm module (keys named
+    ln*/norm* in this repo's towers — the reference matches 'LayerNorm' in
+    the torch parameter path, model.py:1074-1077)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: any(
+            str(getattr(q, "key", "")).lower().startswith(("ln", "norm"))
+            for q in p
+        ),
+        subtree,
+    )
+
+
 def lock_mask(
     params,
     lock_image: bool = False,
@@ -146,30 +177,42 @@ def lock_mask(
 ) -> Any:
     """Boolean pytree: True = trainable.
 
-    Mirrors the reference semantics (model.py:1066-1097): full-tower freeze,
-    or freeze all but the last N text layers / N image groups; LayerNorms in
-    frozen text regions stay trainable unless ``freeze_layer_norm``.
+    Reference group semantics (model.py:1066-1097 + open_clip lock paths):
+
+    - image tower (timm ``lock`` via group_matcher): ordered groups are
+      [stem: patch/cls/pos embeds] [block0] ... [blockL-1] [final norm];
+      ``unlocked_groups=N`` keeps the LAST N groups trainable. The
+      projection head sits outside the trunk and is never locked.
+    - text tower (``lock_text_tower``): frozen modules are
+      ``[embeddings, *layers][:-N]`` — the embeddings count as the first
+      group and there is no trailing-norm group (BERT's final LNs live
+      inside the layers). The projection (outside ``transformer``) is
+      never locked. In frozen text modules LayerNorm parameters stay
+      trainable unless ``freeze_layer_norm``.
     """
 
-    def lock_tower(tower: dict, unlocked_tail: int, freeze_ln: bool, layer_prefix: str):
-        names = sorted(
-            [k for k in tower if k.startswith(layer_prefix)],
-            key=lambda s: int(s[len(layer_prefix):] or 0),
+    def lock_tower(tower: dict, unlocked_tail: int, freeze_ln: bool,
+                   always_prefixes, post_keys):
+        stem, blocks, post, always = _split_tower(
+            tower, "block", always_prefixes, post_keys
         )
-        unlocked = set(names[len(names) - unlocked_tail:]) if unlocked_tail else set()
+        groups = [stem] + [[b] for b in blocks] + ([post] if post else [])
+        n = max(int(unlocked_tail), 0)
+        unlocked = set()
+        for g in groups[len(groups) - n:] if n else []:
+            unlocked.update(g)
         out = {}
         for k, v in tower.items():
-            if k in unlocked:
+            if k in always or k in unlocked:
                 out[k] = _mark(v, True)
-            elif not freeze_ln and isinstance(v, dict):
-                out[k] = jax.tree_util.tree_map_with_path(
-                    lambda p, x: any(
-                        "ln" in str(getattr(q, "key", "")).lower()
-                        or "norm" in str(getattr(q, "key", "")).lower()
-                        for q in p
-                    ),
-                    v,
-                )
+            elif not freeze_ln:
+                if k.lower().startswith(("ln", "norm")):
+                    out[k] = _mark(v, True)  # the module itself is a LN
+                else:
+                    out[k] = (
+                        _ln_leaf_mask(v) if isinstance(v, dict)
+                        else _mark(v, False)
+                    )
             else:
                 out[k] = _mark(v, False)
         return out
@@ -179,12 +222,13 @@ def lock_mask(
     m = mask["params"] if "params" in mask else mask
     if lock_image and "visual" in p:
         m["visual"] = lock_tower(
-            p["visual"], lock_image_unlocked_groups, True, "block"
+            p["visual"], lock_image_unlocked_groups, True,
+            always_prefixes=("proj", "head"), post_keys=("norm",),
         )
     if lock_text and "text" in p:
         m["text"] = lock_tower(
             p["text"], lock_text_unlocked_layers, lock_text_freeze_layer_norm,
-            "block",
+            always_prefixes=("proj",), post_keys=(),
         )
     return mask
 

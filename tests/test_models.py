@@ -176,7 +176,14 @@ def test_lock_mask(tiny_clip):
     model, variables = tiny_clip
     mask = lock_mask(variables, lock_image=True, lock_text=False)
     m = mask["params"]
-    assert all(not x for x in jax.tree_util.tree_leaves(m["visual"]))
+    # trunk frozen; the projection head sits OUTSIDE the trunk and is never
+    # locked (open_clip TimmModel.lock only walks the trunk)
+    assert all(
+        not x
+        for k, v in m["visual"].items() if k != "proj"
+        for x in jax.tree_util.tree_leaves(v)
+    )
+    assert all(jax.tree_util.tree_leaves(m["visual"]["proj"]))
     assert all(x for x in jax.tree_util.tree_leaves(m["text"]))
     # logit_scale stays trainable
     assert m["logit_scale"] is True
@@ -185,6 +192,95 @@ def test_lock_mask(tiny_clip):
     m2 = mask2["params"]["text"]
     assert all(jax.tree_util.tree_leaves(m2["block0"]))  # last layer unlocked
     assert not any(jax.tree_util.tree_leaves(m2["tok_emb"]))
+
+
+@pytest.fixture(scope="module")
+def deep_clip():
+    """3-block towers so group counting is observable."""
+    visual = VisionTransformer(
+        image_size=32, patch_size=16, width=32, depth=3, num_heads=2,
+        embed_dim=16, name="visual",
+    )
+    text = TextBert(
+        vocab_size=128, context_length=16, width=32, depth=3, num_heads=2,
+        embed_dim=16, name="text",
+    )
+    model = ClipModel(visual=visual, text=text)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.ones((2, 16), jnp.int32),
+    )
+    return model, variables
+
+
+def _trainable_top_keys(mask_tower):
+    out = set()
+    for k, v in mask_tower.items():
+        leaves = jax.tree_util.tree_leaves(v)
+        if all(leaves):
+            out.add(k)
+        elif any(leaves):
+            out.add(k + "(partial)")
+    return out
+
+
+class TestLockMaskGroupGolden:
+    """Hand-derived trainable sets per unlocked count (VERDICT r2 item 7),
+    mirroring reference model.py:1066-1097 + open_clip group walks.
+
+    Image groups (trunk): [patch/cls/pos stem] [block0] [block1] [block2]
+    [norm]; proj always trainable. Text groups: [embeddings] [block0..2];
+    proj_* always trainable, no trailing-norm group."""
+
+    def test_image_groups(self, deep_clip):
+        _, variables = deep_clip
+        expect = {
+            0: {"proj"},
+            1: {"proj", "norm"},
+            2: {"proj", "norm", "block2"},
+            3: {"proj", "norm", "block2", "block1"},
+        }
+        for n, want in expect.items():
+            mask = lock_mask(variables, lock_image=True,
+                             lock_image_unlocked_groups=n)
+            got = _trainable_top_keys(mask["params"]["visual"])
+            assert got == want, (n, got)
+
+    def test_text_groups_frozen_ln(self, deep_clip):
+        _, variables = deep_clip
+        always = {"proj_fc1", "proj_fc2"}
+        expect = {
+            0: always,
+            1: always | {"block2"},
+            2: always | {"block2", "block1"},
+            3: always | {"block2", "block1", "block0"},
+        }
+        for n, want in expect.items():
+            mask = lock_mask(variables, lock_text=True,
+                             lock_text_unlocked_layers=n,
+                             lock_text_freeze_layer_norm=True)
+            got = _trainable_top_keys(mask["params"]["text"])
+            assert got == want, (n, got)
+
+    def test_text_ln_exception(self, deep_clip):
+        """freeze_layer_norm=False keeps LayerNorm leaves trainable inside
+        frozen modules (reference model.py:1074-1077)."""
+        _, variables = deep_clip
+        mask = lock_mask(variables, lock_text=True,
+                         lock_text_unlocked_layers=1,
+                         lock_text_freeze_layer_norm=False)
+        t = mask["params"]["text"]
+        # frozen block0: only its ln_* subtrees trainable
+        assert all(jax.tree_util.tree_leaves(t["block0"]["ln_attn"]))
+        assert all(jax.tree_util.tree_leaves(t["block0"]["ln_mlp"]))
+        assert not any(jax.tree_util.tree_leaves(t["block0"]["attn"]))
+        assert not any(jax.tree_util.tree_leaves(t["block0"]["fc1"]))
+        # frozen embeddings: the embed LN trainable, the tables not
+        assert t["ln_emb"]["scale"] and t["ln_emb"]["bias"]
+        assert not any(jax.tree_util.tree_leaves(t["tok_emb"]))
+        # unlocked last layer fully trainable
+        assert all(jax.tree_util.tree_leaves(t["block2"]))
 
 
 def test_logit_scale_clamp():
