@@ -294,7 +294,7 @@ def prepare_params(
     if frozen:
         mask = merge_masks(mask, freeze_submodule_mask(init_params, frozen))
     tx = build_optimizer(args, schedule, trainable_mask=mask)
-    state = create_train_state(init_params, tx, init_batch_stats)
+    state = create_train_state(init_params, tx, init_batch_stats, policy=policy)
 
     # Place state on the mesh: replicated under pure DP (the reference's
     # mode); fsdp/model axes >1 shard params AND optimizer moments

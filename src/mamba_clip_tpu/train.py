@@ -67,6 +67,8 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     batch_stats: Any = struct.field(default_factory=dict)
+    # GradScaler-equivalent state; None unless the policy is dynamic (fp16)
+    loss_scale: Any = None
 
     def variables(self):
         v = {"params": self.params}
@@ -75,12 +77,18 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
-def create_train_state(params, tx, batch_stats=None) -> TrainState:
+def create_train_state(params, tx, batch_stats=None, policy=None) -> TrainState:
+    from .utils.precision import init_loss_scale
+
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         batch_stats=batch_stats or {},
+        loss_scale=(
+            init_loss_scale(policy.loss_scale)
+            if policy is not None and policy.dynamic_loss_scale else None
+        ),
     )
 
 
@@ -104,6 +112,54 @@ def _mixup(rng, args, images, tokens, targets, mix_images, mix_tokens, mix_targe
         two = jax.nn.one_hot(mix_targets, num_classes)
         soft = (1.0 - lam) * one + lam * two
     return images.astype(images.dtype), tokens, soft
+
+
+def _finish_step(state: TrainState, grads, new_stats, tx, s, dynamic: bool,
+                 clamp: bool):
+    """Unscale grads by ``s`` and apply the optimizer update.
+
+    Static path: plain update. Dynamic path (fp16 GradScaler parity,
+    reference train.py:292-305): non-finite grads skip the optimizer step
+    entirely (params AND opt_state keep their old values) and back off the
+    scale; finite steps feed the growth counter. Returns
+    (new_state, extra_metrics)."""
+    from .utils.precision import update_loss_scale
+
+    grads = jax.tree_util.tree_map(lambda g: g / s, grads)
+    gnorm = optax.global_norm(grads)
+    if not dynamic:
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if clamp:
+            new_params = _clamp_logit_scale(new_params)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            batch_stats=new_stats,
+        )
+        return new_state, grads, {"grad_norm": gnorm}
+    finite = jnp.isfinite(gnorm)
+    # zero out non-finite grads so tx.update stays NaN-free; the select
+    # below discards its result on the skip path anyway
+    safe = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+    )
+    updates, new_opt = tx.update(safe, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    if clamp:
+        new_params = _clamp_logit_scale(new_params)
+    sel = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
+    new_state = state.replace(
+        step=state.step + 1,
+        params=jax.tree_util.tree_map(sel, new_params, state.params),
+        opt_state=jax.tree_util.tree_map(sel, new_opt, state.opt_state),
+        batch_stats=new_stats,
+        loss_scale=update_loss_scale(state.loss_scale, finite),
+    )
+    return new_state, grads, {
+        "grad_norm": gnorm,
+        "loss_scale": state.loss_scale.scale,
+        "skipped_steps": (~finite).astype(jnp.int32),
+    }
 
 
 def _debug_grad_stats(params, grads) -> Dict[str, jnp.ndarray]:
@@ -150,6 +206,7 @@ def make_clip_train_step(
     use_siglip = bool(args.siglip)
     accum = max(int(args.accum_freq), 1)
     ls = policy.loss_scale
+    dynamic = bool(getattr(policy, "dynamic_loss_scale", False))
     # --lock-image-freeze-bn-stats: a locked image tower also keeps its
     # BN running stats frozen (reference: model.py lock_image_tower
     # freeze_bn_stats path) — restore the visual batch_stats subtree after
@@ -230,16 +287,21 @@ def make_clip_train_step(
                 mix_images, batch.get("mix_tokens"), None, 2,
             )
         rngs = {"dropout": r_drop}
+        # dynamic scaling needs scaler state; states built without
+        # policy= (older call sites, eval-only restores) degrade to the
+        # static scale
+        dyn = dynamic and state.loss_scale is not None
+        ls_ = state.loss_scale.scale if dyn else ls
 
         if accum == 1:
             def loss_fn(params):
                 out, new_stats = encode(params, state.batch_stats, images, tokens, rngs)
-                return contrastive(out) * ls, (out, new_stats)
+                return contrastive(out) * ls_, (out, new_stats)
 
             (loss, (out, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            loss = loss / ls
+            loss = loss / ls_
         else:
             mb = images.shape[0] // accum
             im_mb = images.reshape(accum, mb, *images.shape[1:])
@@ -275,7 +337,7 @@ def make_clip_train_step(
                     )
                     if "logit_bias" in o:
                         full["logit_bias"] = o["logit_bias"]
-                    return contrastive(full) * ls, new_stats
+                    return contrastive(full) * ls_, new_stats
 
                 (l, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
@@ -287,25 +349,15 @@ def make_clip_train_step(
             (grads, loss_sum, new_stats), _ = jax.lax.scan(
                 micro, (zero_g, 0.0, state.batch_stats), jnp.arange(accum)
             )
-            loss = loss_sum / (ls * accum)
+            loss = loss_sum / (ls_ * accum)
             out = {"logit_scale": jnp.exp(state.params["logit_scale"])}
 
         if freeze_bn and isinstance(new_stats, dict) and "visual" in new_stats:
             new_stats = {**new_stats, "visual": state.batch_stats["visual"]}
-        if ls != 1.0:
-            grads = jax.tree_util.tree_map(lambda g: g / ls, grads)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = _clamp_logit_scale(new_params)
-        new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt,
-            batch_stats=new_stats,
+        new_state, grads, extra = _finish_step(
+            state, grads, new_stats, tx, ls_, dyn, clamp=True
         )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "logit_scale": out["logit_scale"],
-        }
+        metrics = {"loss": loss, "logit_scale": out["logit_scale"], **extra}
         if getattr(args, "debug", False):
             metrics.update(_debug_grad_stats(state.params, grads))
         if schedule is not None:
@@ -342,6 +394,7 @@ def make_classifier_train_step(
         jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
     )
     ls = policy.loss_scale
+    dynamic = bool(getattr(policy, "dynamic_loss_scale", False))
     accum = max(int(args.accum_freq), 1)
 
     def forward(params, batch_stats, images, tokens, rngs):
@@ -372,19 +425,24 @@ def make_classifier_train_step(
                 num_classes,
             )
         rngs = {"dropout": r_drop}
+        # dynamic scaling needs scaler state; states built without
+        # policy= (older call sites, eval-only restores) degrade to the
+        # static scale
+        dyn = dynamic and state.loss_scale is not None
+        ls_ = state.loss_scale.scale if dyn else ls
 
         tgt = soft if soft is not None else targets
 
         def loss_fn(params, stats, im, tk, tg):
             logits, new_stats = forward(params, stats, im, tk, rngs)
             l = cross_entropy_loss(logits, tg, weight=weights)
-            return l * ls, new_stats
+            return l * ls_, new_stats
 
         if accum == 1:
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.batch_stats, images, tokens, tgt)
-            loss = loss / ls
+            loss = loss / ls_
         else:
             if images.shape[0] % accum:
                 raise ValueError(
@@ -419,16 +477,11 @@ def make_classifier_train_step(
                 micro, (zero_g, 0.0, state.batch_stats), jnp.arange(accum)
             )
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-            loss = loss_sum / (ls * accum)
-        if ls != 1.0:
-            grads = jax.tree_util.tree_map(lambda g: g / ls, grads)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt,
-            batch_stats=new_stats,
+            loss = loss_sum / (ls_ * accum)
+        new_state, grads, extra = _finish_step(
+            state, grads, new_stats, tx, ls_, dyn, clamp=False
         )
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics = {"loss": loss, **extra}
         if getattr(args, "debug", False):
             metrics.update(_debug_grad_stats(state.params, grads))
         if schedule is not None:

@@ -245,3 +245,84 @@ def test_debug_adds_grad_stats(setup):
     assert any(k.startswith("pnorm/") for k in keys)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+class TestDynamicLossScale:
+    """GradScaler-parity dynamic scaling for the fp16 modes (VERDICT r2
+    item 8; reference pipeline.py:309-310, train.py:292-305)."""
+
+    def _state(self):
+        import optax
+
+        from mamba_clip_tpu.train import create_train_state
+        from mamba_clip_tpu.utils.precision import get_policy
+
+        params = {"w": jnp.ones((3,), jnp.float32)}
+        tx = optax.adam(1e-2)
+        return create_train_state(params, tx, {}, policy=get_policy("fp16")), tx
+
+    def test_fp16_policy_initializes_scaler(self):
+        state, _ = self._state()
+        assert state.loss_scale is not None
+        assert float(state.loss_scale.scale) == 2.0**16
+
+    def test_inf_grad_skips_step_and_halves_scale(self):
+        from mamba_clip_tpu.train import _finish_step
+
+        state, tx = self._state()
+        bad = {"w": jnp.array([jnp.inf, 1.0, 1.0], jnp.float32)}
+        new_state, _, extra = _finish_step(
+            state, bad, {}, tx, jnp.float32(1.0), dynamic=True, clamp=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["w"]), np.asarray(state.params["w"]))
+        for a, b in zip(jax.tree_util.tree_leaves(new_state.opt_state),
+                        jax.tree_util.tree_leaves(state.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(new_state.loss_scale.scale) == 2.0**15
+        assert int(new_state.loss_scale.growth_count) == 0
+        assert int(extra["skipped_steps"]) == 1
+        assert int(new_state.step) == 1  # schedule keeps advancing
+
+    def test_finite_grad_steps_and_grows_on_interval(self):
+        from mamba_clip_tpu.train import _finish_step
+        from mamba_clip_tpu.utils.precision import GROWTH_INTERVAL
+
+        state, tx = self._state()
+        good = {"w": jnp.full((3,), 0.5, jnp.float32)}
+        new_state, _, extra = _finish_step(
+            state, good, {}, tx, jnp.float32(1.0), dynamic=True, clamp=False
+        )
+        assert not np.allclose(np.asarray(new_state.params["w"]),
+                               np.asarray(state.params["w"]))
+        assert int(new_state.loss_scale.growth_count) == 1
+        assert float(new_state.loss_scale.scale) == 2.0**16
+        # one step before the interval boundary → scale doubles
+        primed = state.replace(loss_scale=state.loss_scale.replace(
+            growth_count=jnp.int32(GROWTH_INTERVAL - 1)))
+        grown, _, _ = _finish_step(
+            primed, good, {}, tx, jnp.float32(1.0), dynamic=True, clamp=False
+        )
+        assert float(grown.loss_scale.scale) == 2.0**17
+        assert int(grown.loss_scale.growth_count) == 0
+
+    def test_fp16_clip_step_reports_scale(self, setup):
+        model, variables, batch, rng = setup
+        args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1, precision="fp16")
+        from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
+        from mamba_clip_tpu.optim import build_optimizer
+        from mamba_clip_tpu.schedules import create_schedule
+        from mamba_clip_tpu.train import create_train_state, make_clip_train_step
+        from mamba_clip_tpu.utils.precision import get_policy
+
+        policy = get_policy("fp16")
+        tcfg = get_transform_config(None, 32, is_train=True)
+        schedule = create_schedule(args, 10)
+        tx = build_optimizer(args, schedule)
+        state = create_train_state(variables["params"], tx, {}, policy=policy)
+        fn = jax.jit(make_clip_train_step(model, tx, policy, args, tcfg, schedule))
+        new_state, metrics = fn(state, batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_scale"]) == 2.0**16
+        assert int(metrics["skipped_steps"]) in (0, 1)
+        assert new_state.loss_scale is not None
