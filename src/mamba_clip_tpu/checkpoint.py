@@ -147,12 +147,15 @@ def load_checkpoint(path: str, state, allow_partial: bool = False):
     try:
         restored = ckptr.restore(path, template)
         opt_state = restored["opt_state"]
-    except ValueError:
+    except Exception:
         # opt_state tree mismatch — e.g. resuming a TRAINED checkpoint into
         # an eval-only run whose optimizer was built without a schedule
         # (--is-test --resume). The reference loads with strict=False
         # (file_utils.py:96); the params are what matters, keep our fresh
-        # opt_state.
+        # opt_state. Broad except (ADVICE r2): orbax 0.11.x raises
+        # ValueError on structure mismatch but other versions surface
+        # TypeError/KeyError; a genuine IO failure re-raises from the
+        # params-only PyTreeRestore below anyway.
         if not allow_partial:
             raise
         logger.warning(

@@ -67,7 +67,12 @@ class HashTokenizer:
             tid = memo.get(t)
             if tid is None:
                 tid = self.N_SPECIAL + (_fnv1a(t) % space)
-                memo[t] = tid
+                # bounded memo (ADVICE r2): reports render continuous
+                # measurements as text, so distinct numeric strings would
+                # otherwise accumulate for the life of the process; hashing
+                # uncached words is still correct, the cap is free
+                if len(memo) < 1_000_000:
+                    memo[t] = tid
             out.append(tid)
         return out
 

@@ -190,6 +190,20 @@ def evaluate(
             np.array([cumulative_loss, num_samples], np.float64)))
         cumulative_loss = float(sums[..., 0].sum())
         num_samples = int(sums[..., 1].sum())
+        # agree on labeledness BEFORE any targets collective: if hosts ever
+        # disagreed (inconsistent metadata), only the labeled ones would
+        # enter the targets allgather — a mismatched collective that hangs
+        # the job (ADVICE r2). Degrade to globally-unlabeled instead.
+        lab_all = np.asarray(mhu.process_allgather(
+            np.array(int(labeled and targets is not None), np.int64)))
+        if probs is not None and not np.atleast_1d(lab_all).all():
+            if targets is not None:
+                logger.warning(
+                    "eval: some hosts saw no labels; dropping targets "
+                    "globally (loss/pAUC unavailable)"
+                )
+            targets = None
+            labeled = False
         if probs is not None:
             counts = np.asarray(
                 mhu.process_allgather(np.array(probs.shape[0], np.int64)))

@@ -45,8 +45,10 @@ def load_device_op_times(trace_dir: str) -> Dict[str, float]:
     """Per-op device time in microseconds, summed over all traced steps.
 
     Reads the newest ``*.trace.json.gz`` under ``trace_dir`` and returns
-    ``{op_name: total_us}`` for the device process's 'XLA Ops' thread
-    (falls back to the busiest thread when names are absent).
+    ``{op_name: total_us}`` for ONE device process's 'XLA Ops' thread —
+    the busiest pid when a multi-chip trace holds several — so values read
+    as per-chip milliseconds (falls back to the busiest thread when names
+    are absent). Single-chip attribution tool by design.
     """
     files = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
@@ -71,6 +73,16 @@ def load_device_op_times(trace_dir: str) -> Dict[str, float]:
                    if "TPU" in n or "GPU" in n or "device" in n.lower()]
     complete = [e for e in events if e.get("ph") == "X"]
     if device_pids:
+        # ONE device pid only (the busiest): per-op times here mean
+        # "ms on a chip". Summing across all device pids of a multi-chip
+        # (replicated/sharded) trace would inflate per-step ms by the
+        # device count (ADVICE r2); profile_step is a single-chip tool.
+        if len(device_pids) > 1:
+            per_pid = collections.Counter()
+            for e in complete:
+                if e["pid"] in device_pids:
+                    per_pid[e["pid"]] += e.get("dur", 0)
+            device_pids = [per_pid.most_common(1)[0][0]]
         complete = [e for e in complete if e["pid"] in device_pids]
     op_tids = {k for k, n in tid_names.items() if n == "XLA Ops"}
     if op_tids:
