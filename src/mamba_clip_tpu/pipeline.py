@@ -544,10 +544,17 @@ def pipeline(args: Args):
             rng=rng, takes_text=takes_text, class_weights=cw,
         )
         if "train" not in data:
+            from .eval import make_eval_step
+
             metrics = evaluate(
                 model, params["state"], data, params["start_epoch"], args,
                 params["policy"], tcfg_val, run_state=run,
                 stage=1 if takes_text else 2, takes_text=takes_text,
+                eval_step=make_eval_step(
+                    model, params["policy"], tcfg_val,
+                    stage=1 if takes_text else 2, class_weights=cw,
+                    takes_text=takes_text,
+                ),
             )
         else:
             metrics, _ = step(
@@ -651,10 +658,16 @@ def pipeline(args: Args):
         )
         if "train" not in data:
             # --is-test: eval-only on the test split, writes submission.csv
+            from .eval import make_eval_step
+
             metrics = evaluate(
                 model, params["state"], data, params["start_epoch"], args,
                 params["policy"], tcfg_val, run_state=run, stage=2,
                 takes_text=True,
+                eval_step=make_eval_step(
+                    model, params["policy"], tcfg_val, stage=2,
+                    class_weights=cw, takes_text=True,
+                ),
             )
         else:
             metrics, _ = step(
