@@ -438,6 +438,19 @@ def step(
                     run.checkpoint_path, state, completed, args,
                     name=f"{save_prefix}{LATEST_CHECKPOINT_NAME}",
                 )
+    if metrics is None and params["start_epoch"] >= args.epochs:
+        # resuming an already-finished run: nothing left to train — still
+        # evaluate the restored state so the caller gets metrics instead of
+        # a silent None (the reference's empty range(start, epochs) loop
+        # returns nothing, pipeline.py:411-527; evident intent is "run it
+        # again → see where it stands")
+        metrics = evaluate(
+            model, state, data, params["start_epoch"], args, policy,
+            tcfg_val, run_state=run, stage=stage, results_writer=results,
+            tb_writer=writer,
+            class_weights=class_weights if args.class_weighted_loss else None,
+            takes_text=takes_text, eval_step=eval_step,
+        )
     # always leave a stage-latest checkpoint for stage-2 consumption
     if is_master(run) and args.epochs > 0:
         save_checkpoint(

@@ -46,10 +46,10 @@ def convert_vit(sd: Dict, prefix: str, width: int = 768, heads: int = 12):
     kernel (O, I, kh, kw) reshapes to (kh*kw*I, O). Our attention uses a
     fused qkv Dense, which maps 1:1 from timm's fused qkv."""
     out = {}
+    pe = _t(sd[f"{prefix}patch_embed.proj.weight"])
+    width = pe.shape[0]  # infer; the 768 default only documents ViT-B
     out["visual/patch_embed/kernel"] = (
-        _t(sd[f"{prefix}patch_embed.proj.weight"])
-        .transpose(2, 3, 1, 0)
-        .reshape(-1, width)
+        pe.transpose(2, 3, 1, 0).reshape(-1, width)
     )
     out["visual/patch_embed/bias"] = _t(sd[f"{prefix}patch_embed.proj.bias"])
     out["visual/cls_token"] = _t(sd[f"{prefix}cls_token"])
