@@ -38,6 +38,7 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))  # amortizes the ~30ms tunnel fetch
 MODEL = os.environ.get("BENCH_MODEL", "biomedclip")  # or "medmamba"
 PRECISION = os.environ.get("BENCH_PRECISION", "amp")
+QUANT = os.environ.get("BENCH_QUANT") or None  # int8|int8_fwd (AQT)
 
 
 def _kernel_verify_marker():
@@ -116,7 +117,8 @@ def verify_compiled_kernel():
         f.write("verified\n")
 
 
-def build_train_step(batch_size=64, model_name="biomedclip", precision="amp"):
+def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
+                     quant=None):
     """Build (step_fn, state, device_batch, rng) for the stage-1 recipe.
 
     Shared by bench.py and tools/profile_step.py so the profiled step is
@@ -141,7 +143,7 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp"):
 
     model = build_clip(
         model_name=model_name, image_size=224, dtype=policy.compute_dtype,
-        grad_checkpointing=False,
+        grad_checkpointing=False, quant=quant,
     )
 
     rng = jax.random.PRNGKey(0)
@@ -183,7 +185,7 @@ def main():
     verify_compiled_kernel()
 
     step_fn, state, batch, rng = build_train_step(
-        batch_size=BATCH, model_name=MODEL, precision=PRECISION
+        batch_size=BATCH, model_name=MODEL, precision=PRECISION, quant=QUANT
     )
 
     def force_sync(state, metrics):

@@ -85,6 +85,9 @@ class Args:
 
     # -- precision ---------------------------------------------------------
     precision: str = "amp"  # amp|amp_bf16|amp_bfloat16|bf16|pure_bf16|fp16|pure_fp16|fp32
+    # NEW: int8 quantized training via AQT (ops/quant.py) — the TPU analog
+    # of --use-bnb-linear. int8 = fwd+bwd dots; int8_fwd = forward only.
+    quant: Optional[str] = None  # int8|int8_fwd|none
 
     # -- device mesh (beyond the reference's pure DP) -----------------------
     # devices lay out as data x fsdp x model; data = all remaining. fsdp>1
@@ -182,8 +185,8 @@ class Args:
 IGNORED_FLAGS = {
     "torchscript": "torch-only compile mode; every step is XLA-jit-compiled",
     "torchcompile": "torch-only compile mode; every step is XLA-jit-compiled",
-    "use_bnb_linear": "bitsandbytes is CUDA-only; see PERF.md for the "
-                      "TPU int8 quantization story",
+    "use_bnb_linear": "bitsandbytes is CUDA-only; use --quant int8 (AQT, "
+                      "ops/quant.py) for TPU int8",
     "use_bn_sync": "SyncBatchNorm is a DDP construct; under pjit/shard_map "
                    "batch stats already reduce over the mesh where sharded",
     "ddp_static_graph": "DDP tuning knob; no DDP wrapper exists under pjit",

@@ -245,9 +245,13 @@ def build_clip(
     siglip: bool = False,
     dtype: Dtype = jnp.float32,
     scan_impl: Optional[str] = None,
+    quant: Optional[str] = None,
 ) -> ClipModel:
     """CLIP factory. ``biomedclip``/ViT names → ViT-B/16 + PubMedBERT-shaped
     towers; ``medmamba`` → VSSM vision tower (reference: model.py:1257-1289)."""
+    from ..ops.quant import make_dot_general_cls
+
+    dg_cls = make_dot_general_cls(quant)
     name = (model_name or "biomedclip").lower()
     if "medmamba" in name or "vssm" in name:
         vssm = VSSM(
@@ -259,11 +263,12 @@ def build_clip(
         visual = VisionTransformer(
             image_size=image_size, embed_dim=embed_dim,
             quick_gelu=quick_gelu, patch_dropout=patch_dropout,
-            grad_checkpointing=grad_checkpointing, dtype=dtype, name="visual",
+            grad_checkpointing=grad_checkpointing, dtype=dtype,
+            dot_general_cls=dg_cls, name="visual",
         )
     text = TextBert(
         vocab_size=vocab_size, context_length=context_length,
         embed_dim=embed_dim, grad_checkpointing=grad_checkpointing,
-        dtype=dtype, name="text",
+        dtype=dtype, dot_general_cls=dg_cls, name="text",
     )
     return ClipModel(visual=visual, text=text, siglip=siglip)

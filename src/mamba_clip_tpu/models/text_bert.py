@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,19 +34,28 @@ class BertBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    dot_general_cls: Any = None  # AQT int8 injection (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         d = x.shape[-1]
+        kw = (
+            {"dot_general_cls": self.dot_general_cls}
+            if self.dot_general_cls is not None else {}
+        )
         y = FusedAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="attn",
+            num_heads=self.num_heads, dtype=self.dtype,
+            dot_general_cls=self.dot_general_cls, name="attn",
         )(x, pad_mask=mask)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_attn")(
             x + y
         ).astype(self.dtype)
-        y = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="fc1")(x)
+        y = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="fc1",
+                     **kw)(x)
+        # no jax.checkpoint here — measured slower (see vit.py MlpBlock /
+        # PERF.md round-3 gelu-remat negative result)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(d, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dense(d, dtype=self.dtype, name="fc2", **kw)(y)
         return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_mlp")(
             x + y
         ).astype(self.dtype)
@@ -65,6 +75,7 @@ class TextBert(nn.Module):
     pad_id: int = 0
     grad_checkpointing: bool = False
     dtype: Dtype = jnp.float32
+    dot_general_cls: Any = None
 
     @property
     def output_dim(self) -> int:
@@ -98,7 +109,8 @@ class TextBert(nn.Module):
         for i in range(self.depth):
             x = block(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                dtype=self.dtype, name=f"block{i}",
+                dtype=self.dtype,
+                dot_general_cls=self.dot_general_cls, name=f"block{i}",
             )(x, pad_mask, deterministic)
 
         cls = x[:, 0].astype(jnp.float32)

@@ -37,13 +37,19 @@ class FusedAttention(nn.Module):
 
     num_heads: int
     dtype: Dtype = jnp.float32
+    dot_general_cls: Any = None  # AQT int8 injection (ops/quant.py)
+
+    def _dense(self, features, name, **kw):
+        if self.dot_general_cls is not None:
+            kw["dot_general_cls"] = self.dot_general_cls
+        return nn.Dense(features, dtype=self.dtype, name=name, **kw)
 
     @nn.compact
     def __call__(self, x, pad_mask=None):
         B, T, d = x.shape
         h = self.num_heads
         hd = d // h
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = self._dense(3 * d, "qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, h, hd)
         k = k.reshape(B, T, h, hd)
@@ -55,7 +61,7 @@ class FusedAttention(nn.Module):
             s = jnp.where(pad_mask, s, jnp.float32(-1e9))
         p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
         o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, d)
-        return nn.Dense(d, dtype=self.dtype, name="out")(o)
+        return self._dense(d, "out")(o)
 
 
 class MlpBlock(nn.Module):
@@ -63,15 +69,24 @@ class MlpBlock(nn.Module):
     out_dim: int
     dtype: Dtype = jnp.float32
     quick_gelu: bool = False
+    dot_general_cls: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        kw = (
+            {"dot_general_cls": self.dot_general_cls}
+            if self.dot_general_cls is not None else {}
+        )
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1", **kw)(x)
+        # NOTE: do NOT jax.checkpoint the activation. Measured (round 3,
+        # real chip): forcing gelu-recompute raised the MLP-3072 stream
+        # 33.4->47.6 ms/step and the whole step 170.7->177.7 ms — XLA's own
+        # remat choices beat the hand-forced policy (PERF.md round-3).
         if self.quick_gelu:
             x = x * nn.sigmoid(1.702 * x)
         else:
             x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2", **kw)(x)
 
 
 class EncoderBlock(nn.Module):
@@ -82,6 +97,7 @@ class EncoderBlock(nn.Module):
     dtype: Dtype = jnp.float32
     quick_gelu: bool = False
     drop_rate: float = 0.0
+    dot_general_cls: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -90,6 +106,7 @@ class EncoderBlock(nn.Module):
             self.dtype
         )
         y = FusedAttention(num_heads=self.num_heads, dtype=self.dtype,
+                           dot_general_cls=self.dot_general_cls,
                            name="attn")(y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(
@@ -97,7 +114,8 @@ class EncoderBlock(nn.Module):
         )
         y = MlpBlock(
             int(d * self.mlp_ratio), d, dtype=self.dtype,
-            quick_gelu=self.quick_gelu, name="mlp",
+            quick_gelu=self.quick_gelu,
+            dot_general_cls=self.dot_general_cls, name="mlp",
         )(y)
         return x + y
 
@@ -119,6 +137,7 @@ class VisionTransformer(nn.Module):
     quick_gelu: bool = False
     grad_checkpointing: bool = False
     dtype: Dtype = jnp.float32
+    dot_general_cls: Any = None  # AQT int8 injection into the hot GEMMs
 
     @property
     def output_dim(self) -> int:
@@ -138,7 +157,12 @@ class VisionTransformer(nn.Module):
             .transpose(0, 1, 3, 2, 4, 5)
             .reshape(B, gh * gw, p * p * C)
         )
-        x = nn.Dense(self.width, dtype=self.dtype, name="patch_embed")(patches)
+        pe_kw = (
+            {"dot_general_cls": self.dot_general_cls}
+            if self.dot_general_cls is not None else {}
+        )
+        x = nn.Dense(self.width, dtype=self.dtype, name="patch_embed",
+                     **pe_kw)(patches)
         n_patches = x.shape[1]
 
         cls = self.param(
@@ -171,7 +195,8 @@ class VisionTransformer(nn.Module):
         for i in range(self.depth):
             x = block(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                dtype=self.dtype, quick_gelu=self.quick_gelu, name=f"block{i}",
+                dtype=self.dtype, quick_gelu=self.quick_gelu,
+                dot_general_cls=self.dot_general_cls, name=f"block{i}",
             )(x, deterministic)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x[:, 0])

@@ -1,0 +1,57 @@
+"""int8 quantized-training injection (AQT) for the transformer GEMMs.
+
+TPU-native replacement for the reference's ``--use-bnb-linear`` CUDA
+bitsandbytes path (reference: src/mamba_clip/model.py — bnb linear swap).
+On v5e the MXU's int8 path sustains ~352 TOPS vs ~193 TF/s bf16 at this
+model's exact GEMM shapes (measured, tools/int8_experiment.py — x1.83 per
+dot including requantization), so quantized training is the one lever that
+beats the bf16 ceiling.
+
+Mechanism: AQT (Accurate Quantized Training, the public ``aqt`` JAX
+library) swaps each ``lax.dot_general`` inside the towers' Dense layers
+for a fake-quantized int8 dot with straight-through-estimator gradients
+and dynamic absmax calibration. ``--quant int8`` quantizes forward AND
+both backward dots; ``--quant int8_fwd`` only the forward (conservative:
+exact bf16 gradients).
+
+Opt-in by design — int8 changes numerics relative to the reference's AMP
+recipe, so the flagship bench/default stays bf16 and int8 is a flag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+_VALID = ("int8", "int8_fwd")
+
+
+def make_dot_general_cls(quant: Optional[str]) -> Any:
+    """Map a --quant flag value to a flax ``dot_general_cls`` injection
+    (None = unquantized). Raises on unknown values so a typo can't
+    silently run unquantized."""
+    if not quant or quant == "none":
+        return None
+    try:
+        from aqt.jax.v2 import config as aqt_config
+        from aqt.jax.v2.flax import aqt_flax
+    except ImportError as e:  # pragma: no cover - aqt ships in this image
+        raise RuntimeError(
+            f"--quant {quant} requires the 'aqt' package: {e}"
+        ) from None
+    if quant == "int8":
+        # int8 forward AND both backward dots, int32 accumulation.
+        # Stochastic rounding is OFF: it would demand an rng stream on
+        # every apply (including deterministic eval, which has none by
+        # design); deterministic rounding costs a little gradient-noise
+        # quality for a much simpler contract.
+        cfg = aqt_config.fully_quantized(
+            fwd_bits=8, bwd_bits=8, use_stochastic_rounding=False,
+        )
+    elif quant == "int8_fwd":
+        cfg = aqt_config.config_v4(fwd_bits=8, dlhs_bits=None, drhs_bits=None)
+    else:
+        raise ValueError(f"unknown --quant '{quant}'; one of {_VALID} or none")
+    # prng_name=None: no rng stream (SR is off); the default 'params'
+    # would break deterministic eval applies that carry no rngs
+    return functools.partial(aqt_flax.AqtDotGeneral, cfg, prng_name=None)

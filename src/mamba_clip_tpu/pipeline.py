@@ -547,6 +547,7 @@ def pipeline(args: Args):
                 grad_checkpointing=args.grad_checkpointing,
                 siglip=args.siglip,
                 dtype=policy.compute_dtype,
+                quant=args.quant,
             )
         data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
         run = setup_paths(args, run)
@@ -584,6 +585,7 @@ def pipeline(args: Args):
         clip = build_clip(
             model_name=stage1_name, image_size=image_size,
             quick_gelu=args.force_quick_gelu, dtype=policy.compute_dtype,
+            quant=args.quant,
         )
         model = ClipClassifier(
             clip=clip,

@@ -125,7 +125,8 @@ def _finish_step(state: TrainState, grads, new_stats, tx, s, dynamic: bool,
     (new_state, extra_metrics)."""
     from .utils.precision import update_loss_scale
 
-    grads = jax.tree_util.tree_map(lambda g: g / s, grads)
+    if not (isinstance(s, float) and s == 1.0):  # keep the HLO clean at ls=1
+        grads = jax.tree_util.tree_map(lambda g: g / s, grads)
     gnorm = optax.global_norm(grads)
     if not dynamic:
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
