@@ -88,6 +88,10 @@ class Args:
     # NEW: int8 quantized training via AQT (ops/quant.py) — the TPU analog
     # of --use-bnb-linear. int8 = fwd+bwd dots; int8_fwd = forward only.
     quant: Optional[str] = None  # int8|int8_fwd|none
+    # NEW: MLP GELU form. auto = tanh when compute dtype is bf16 (erf costs
+    # more than the fc1 matmul on the TPU VPU; tanh error is 33x below bf16
+    # rounding — PERF.md round-3), exact otherwise (torch parity).
+    gelu: str = "auto"  # auto|exact|tanh
 
     # -- device mesh (beyond the reference's pure DP) -----------------------
     # devices lay out as data x fsdp x model; data = all remaining. fsdp>1

@@ -233,6 +233,20 @@ def lock_mask(
     return mask
 
 
+def resolve_gelu_approx(gelu: str, dtype: Dtype) -> bool:
+    """Resolve the ``--gelu`` flag to ``approximate=`` for ``nn.gelu``.
+
+    "auto" picks the tanh form iff the compute dtype is bfloat16 (see
+    :func:`build_clip` for the measurement behind this default)."""
+    if gelu == "auto":
+        return dtype == jnp.bfloat16
+    if gelu in ("exact", "erf"):
+        return False
+    if gelu == "tanh":
+        return True
+    raise ValueError(f"--gelu must be auto|exact|tanh, got {gelu!r}")
+
+
 def build_clip(
     model_name: str = "biomedclip",
     embed_dim: int = 512,
@@ -246,12 +260,24 @@ def build_clip(
     dtype: Dtype = jnp.float32,
     scan_impl: Optional[str] = None,
     quant: Optional[str] = None,
+    gelu: str = "auto",
 ) -> ClipModel:
     """CLIP factory. ``biomedclip``/ViT names → ViT-B/16 + PubMedBERT-shaped
-    towers; ``medmamba`` → VSSM vision tower (reference: model.py:1257-1289)."""
+    towers; ``medmamba`` → VSSM vision tower (reference: model.py:1257-1289).
+
+    ``gelu``: MLP activation form. ``"exact"`` = erf GELU (torch nn.GELU
+    default, what the reference's towers compute); ``"tanh"`` = tanh
+    approximation; ``"auto"`` (default) = tanh when the compute dtype is
+    bfloat16, exact otherwise. On the TPU VPU the erf epilogue costs more
+    than the fc1 matmul it fuses into (measured 1089 vs 509 us/dot, tanh
+    567 — PERF.md round-3), while the tanh-vs-erf error (max 4.7e-4) is
+    33x below bf16's own rounding of the exact value, so "auto" trades
+    nothing measurable under bf16 and preserves exact-erf parity for
+    fp32/fp16 numerics-comparison runs."""
     from ..ops.quant import make_dot_general_cls
 
     dg_cls = make_dot_general_cls(quant)
+    gelu_approx = resolve_gelu_approx(gelu, dtype)
     name = (model_name or "biomedclip").lower()
     if "medmamba" in name or "vssm" in name:
         vssm = VSSM(
@@ -263,12 +289,14 @@ def build_clip(
         visual = VisionTransformer(
             image_size=image_size, embed_dim=embed_dim,
             quick_gelu=quick_gelu, patch_dropout=patch_dropout,
+            gelu_approx=gelu_approx,
             grad_checkpointing=grad_checkpointing, dtype=dtype,
             dot_general_cls=dg_cls, name="visual",
         )
     text = TextBert(
         vocab_size=vocab_size, context_length=context_length,
         embed_dim=embed_dim, grad_checkpointing=grad_checkpointing,
-        dtype=dtype, dot_general_cls=dg_cls, name="text",
+        dtype=dtype, gelu_approx=gelu_approx,
+        dot_general_cls=dg_cls, name="text",
     )
     return ClipModel(visual=visual, text=text, siglip=siglip)

@@ -34,6 +34,7 @@ class BertBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    gelu_approx: bool = False
     dot_general_cls: Any = None  # AQT int8 injection (ops/quant.py)
 
     @nn.compact
@@ -53,8 +54,10 @@ class BertBlock(nn.Module):
         y = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="fc1",
                      **kw)(x)
         # no jax.checkpoint here — measured slower (see vit.py MlpBlock /
-        # PERF.md round-3 gelu-remat negative result)
-        y = nn.gelu(y, approximate=False)
+        # PERF.md round-3 gelu-remat negative result). gelu_approx: tanh
+        # form — exact erf costs more than the fc1 matmul on the VPU and
+        # its error is 33x below bf16 rounding (vit.py MlpBlock / PERF.md).
+        y = nn.gelu(y, approximate=self.gelu_approx)
         y = nn.Dense(d, dtype=self.dtype, name="fc2", **kw)(y)
         return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_mlp")(
             x + y
@@ -75,6 +78,7 @@ class TextBert(nn.Module):
     pad_id: int = 0
     grad_checkpointing: bool = False
     dtype: Dtype = jnp.float32
+    gelu_approx: bool = False
     dot_general_cls: Any = None
 
     @property
@@ -109,7 +113,7 @@ class TextBert(nn.Module):
         for i in range(self.depth):
             x = block(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                dtype=self.dtype,
+                dtype=self.dtype, gelu_approx=self.gelu_approx,
                 dot_general_cls=self.dot_general_cls, name=f"block{i}",
             )(x, pad_mask, deterministic)
 

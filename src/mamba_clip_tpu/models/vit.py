@@ -69,6 +69,7 @@ class MlpBlock(nn.Module):
     out_dim: int
     dtype: Dtype = jnp.float32
     quick_gelu: bool = False
+    gelu_approx: bool = False
     dot_general_cls: Any = None
 
     @nn.compact
@@ -85,7 +86,13 @@ class MlpBlock(nn.Module):
         if self.quick_gelu:
             x = x * nn.sigmoid(1.702 * x)
         else:
-            x = nn.gelu(x, approximate=False)
+            # gelu_approx=True uses the tanh form: on the TPU VPU the exact
+            # erf epilogue costs MORE than the fc1 matmul it fuses into
+            # (measured 1089 vs 509 us/dot; tanh 567 us — PERF.md round-3
+            # GELU-epilogue experiment), while the tanh-vs-erf error
+            # (max 4.7e-4) is 33x below bf16's own rounding of the exact
+            # value (1.6e-2), i.e. invisible under bf16 compute.
+            x = nn.gelu(x, approximate=self.gelu_approx)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2", **kw)(x)
 
 
@@ -96,6 +103,7 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     quick_gelu: bool = False
+    gelu_approx: bool = False
     drop_rate: float = 0.0
     dot_general_cls: Any = None
 
@@ -114,7 +122,7 @@ class EncoderBlock(nn.Module):
         )
         y = MlpBlock(
             int(d * self.mlp_ratio), d, dtype=self.dtype,
-            quick_gelu=self.quick_gelu,
+            quick_gelu=self.quick_gelu, gelu_approx=self.gelu_approx,
             dot_general_cls=self.dot_general_cls, name="mlp",
         )(y)
         return x + y
@@ -135,6 +143,7 @@ class VisionTransformer(nn.Module):
     embed_dim: Optional[int] = 512  # projection output; None = raw width
     patch_dropout: float = 0.0
     quick_gelu: bool = False
+    gelu_approx: bool = False
     grad_checkpointing: bool = False
     dtype: Dtype = jnp.float32
     dot_general_cls: Any = None  # AQT int8 injection into the hot GEMMs
@@ -196,6 +205,7 @@ class VisionTransformer(nn.Module):
             x = block(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype, quick_gelu=self.quick_gelu,
+                gelu_approx=self.gelu_approx,
                 dot_general_cls=self.dot_general_cls, name=f"block{i}",
             )(x, deterministic)
 

@@ -548,6 +548,7 @@ def pipeline(args: Args):
                 siglip=args.siglip,
                 dtype=policy.compute_dtype,
                 quant=args.quant,
+                gelu=args.gelu,
             )
         data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
         run = setup_paths(args, run)
@@ -585,7 +586,7 @@ def pipeline(args: Args):
         clip = build_clip(
             model_name=stage1_name, image_size=image_size,
             quick_gelu=args.force_quick_gelu, dtype=policy.compute_dtype,
-            quant=args.quant,
+            quant=args.quant, gelu=args.gelu,
         )
         model = ClipClassifier(
             clip=clip,

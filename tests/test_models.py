@@ -287,3 +287,61 @@ def test_logit_scale_clamp():
     params = {"logit_scale": jnp.float32(9.9), "other": jnp.zeros(3)}
     out = clamp_logit_scale(params)
     assert float(out["logit_scale"]) == pytest.approx(LOGIT_SCALE_MAX)
+
+
+class TestGeluFlag:
+    """--gelu auto|exact|tanh resolution and plumbing (PERF.md round-3:
+    exact-erf GELU costs more than the fc1 matmul on the TPU VPU; tanh
+    error is 33x below bf16 rounding, so "auto" = tanh iff bf16)."""
+
+    def test_resolve(self):
+        from mamba_clip_tpu.models.clip import resolve_gelu_approx
+
+        assert resolve_gelu_approx("auto", jnp.bfloat16) is True
+        assert resolve_gelu_approx("auto", jnp.float32) is False
+        assert resolve_gelu_approx("exact", jnp.bfloat16) is False
+        assert resolve_gelu_approx("tanh", jnp.float32) is True
+        with pytest.raises(ValueError):
+            resolve_gelu_approx("fast", jnp.float32)
+
+    def test_plumbs_to_towers_and_changes_output(self):
+        """In fp32 the exact and tanh builds must differ slightly (same
+        params), bounded by the tanh approximation's max error (4.7e-4
+        on the activation — allow headroom through two layers)."""
+        from mamba_clip_tpu.models import build_clip
+
+        kw = dict(model_name="biomedclip", image_size=32, embed_dim=16,
+                  context_length=16, vocab_size=64)
+        exact = build_clip(gelu="exact", **kw)
+        tanh = build_clip(gelu="tanh", **kw)
+        # shrink towers for speed
+        exact = exact.copy(
+            visual=exact.visual.copy(patch_size=16, width=32, depth=1,
+                                     num_heads=2),
+            text=exact.text.copy(width=32, depth=1, num_heads=2),
+        )
+        tanh = tanh.copy(
+            visual=tanh.visual.copy(patch_size=16, width=32, depth=1,
+                                    num_heads=2),
+            text=tanh.text.copy(width=32, depth=1, num_heads=2),
+        )
+        assert exact.visual.gelu_approx is False
+        assert exact.text.gelu_approx is False
+        assert tanh.visual.gelu_approx is True
+        assert tanh.text.gelu_approx is True
+        rng = jax.random.PRNGKey(0)
+        img = jax.random.normal(rng, (2, 32, 32, 3))
+        tok = jnp.ones((2, 16), jnp.int32)
+        v = exact.init({"params": rng}, image=img, text=tok)
+        out_e = exact.apply(v, image=img, text=tok)
+        out_t = tanh.apply(v, image=img, text=tok)
+        d_img = np.abs(np.asarray(out_e["image_features"]
+                                  - out_t["image_features"]))
+        assert d_img.max() > 0  # the flag actually switches the activation
+        assert d_img.max() < 5e-3  # and the divergence is approximation-sized
+
+    def test_auto_default_in_config(self):
+        from mamba_clip_tpu.config import Args, parse_args
+
+        assert Args().gelu == "auto"
+        assert parse_args(["--gelu", "exact"]).gelu == "exact"

@@ -32,6 +32,7 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--model", default="biomedclip")
     p.add_argument("--precision", default="amp")
+    p.add_argument("--quant", default=None)
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--top", type=int, default=15)
     p.add_argument("--trace-dir", default=None,
@@ -47,7 +48,8 @@ def main():
 
     enable_compilation_cache()
     step_fn, state, batch, rng = build_train_step(
-        batch_size=a.batch, model_name=a.model, precision=a.precision
+        batch_size=a.batch, model_name=a.model, precision=a.precision,
+        quant=a.quant,
     )
 
     # HLO text for shape classification (cheap: reuses the cached compile)
