@@ -291,6 +291,17 @@ def _specs(BG, LP, DP, NP, G, T, DT):
     return in_specs, nd
 
 
+def _out_sds(shape, *operands):
+    """ShapeDtypeStruct whose vma (varying-manual-axes type, JAX>=0.8) is
+    the union of the operands' — required for pallas_call under shard_map
+    (ops/sharded_scan.py); a no-op (empty set) outside one."""
+    try:
+        vma = frozenset().union(*(jax.typeof(x).vma for x in operands))
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
 def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid, interpret):
     BG, LP, DP = u.shape
     NP = Bmat.shape[-1]
@@ -311,8 +322,8 @@ def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid, int
             pl.BlockSpec((1, 1, NP, DT), lambda bg, d, lc: (bg, lc, 0, d), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BG, LP, DP), jnp.float32),
-            jax.ShapeDtypeStruct((BG, NC, NP, DP), jnp.float32),
+            _out_sds((BG, LP, DP), delta, u, Bmat, Cmat),
+            _out_sds((BG, NC, NP, DP), delta, u, Bmat, Cmat),
         ],
         scratch_shapes=[pltpu.VMEM((NP, DT), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -371,13 +382,13 @@ def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus, l_v
                          memory_space=pltpu.VMEM),                      # dbias
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BG, LP, DP), jnp.float32),
-            jax.ShapeDtypeStruct((BG, LP, DP), jnp.float32),
-            jax.ShapeDtypeStruct((nd, BG, LP, NP), jnp.float32),
-            jax.ShapeDtypeStruct((nd, BG, LP, NP), jnp.float32),
-            jax.ShapeDtypeStruct((BG, NP, DP), jnp.float32),
-            jax.ShapeDtypeStruct((BG, 1, DP), jnp.float32),
-            jax.ShapeDtypeStruct((BG, 1, DP), jnp.float32),
+            _out_sds((BG, LP, DP), delta, u, Bmat, Cmat, dy),
+            _out_sds((BG, LP, DP), delta, u, Bmat, Cmat, dy),
+            _out_sds((nd, BG, LP, NP), delta, u, Bmat, Cmat, dy),
+            _out_sds((nd, BG, LP, NP), delta, u, Bmat, Cmat, dy),
+            _out_sds((BG, NP, DP), delta, u, Bmat, Cmat, dy),
+            _out_sds((BG, 1, DP), delta, u, Bmat, Cmat, dy),
+            _out_sds((BG, 1, DP), delta, u, Bmat, Cmat, dy),
         ],
         scratch_shapes=[pltpu.VMEM((NP, DT), jnp.float32)],
         interpret=interpret,
@@ -498,7 +509,10 @@ def _scan_tm_xla(u, delta, A, Bmat, Cmat, D, bias, softplus):
         Bmat.astype(f32).transpose(2, 0, 1, 3),
         Cmat.astype(f32).transpose(2, 0, 1, 3),
     )
-    h0 = jnp.zeros((Bsz, G, DG, N), f32)
+    # derive h0 from dt (it constant-folds to zeros) so its vma type is
+    # varying when this runs inside shard_map (sharded_scan.py): a literal
+    # jnp.zeros carry trips JAX 0.8's varying-manual-axes scan check
+    h0 = jnp.zeros((Bsz, G, DG, N), f32) + 0.0 * dt[:, :, 0, :, None]
     _, ys = jax.lax.scan(step, h0, xs)
     y = ys.transpose(1, 2, 0, 3)  # (B,G,L,DG)
     return y + u32 * D.reshape(1, G, 1, DG)
