@@ -38,7 +38,7 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))  # amortizes the ~30ms tunnel fetch
 MODEL = os.environ.get("BENCH_MODEL", "biomedclip")  # or "medmamba"
 PRECISION = os.environ.get("BENCH_PRECISION", "amp")
-QUANT = os.environ.get("BENCH_QUANT") or None  # int8|int8_fwd (AQT)
+QUANT = os.environ.get("BENCH_QUANT") or None  # int8|int8_fwd (AQT)|int8_fast
 
 
 def _kernel_verify_marker():
@@ -118,7 +118,7 @@ def verify_compiled_kernel():
 
 
 def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
-                     quant=None):
+                     quant=None, attn_remat=False):
     """Build (step_fn, state, device_batch, rng) for the stage-1 recipe.
 
     Shared by bench.py and tools/profile_step.py so the profiled step is
@@ -143,7 +143,7 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
 
     model = build_clip(
         model_name=model_name, image_size=224, dtype=policy.compute_dtype,
-        grad_checkpointing=False, quant=quant,
+        grad_checkpointing=False, quant=quant, attn_remat=attn_remat,
     )
 
     rng = jax.random.PRNGKey(0)

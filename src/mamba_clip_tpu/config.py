@@ -85,9 +85,11 @@ class Args:
 
     # -- precision ---------------------------------------------------------
     precision: str = "amp"  # amp|amp_bf16|amp_bfloat16|bf16|pure_bf16|fp16|pure_fp16|fp32
-    # NEW: int8 quantized training via AQT (ops/quant.py) — the TPU analog
-    # of --use-bnb-linear. int8 = fwd+bwd dots; int8_fwd = forward only.
-    quant: Optional[str] = None  # int8|int8_fwd|none
+    # NEW: int8 quantized training (ops/quant.py) — the TPU analog of
+    # --use-bnb-linear. int8 = AQT fwd+bwd dots; int8_fwd = AQT forward
+    # only; int8_fast = native shared-calibration dot (ops/qdot.py, one
+    # calibration per tensor per step instead of AQT's per-use six).
+    quant: Optional[str] = None  # int8|int8_fwd|int8_fast|none
     # NEW: MLP GELU form. auto = tanh when compute dtype is bf16 (erf costs
     # more than the fc1 matmul on the TPU VPU; tanh error is 33x below bf16
     # rounding — PERF.md round-3), exact otherwise (torch parity).

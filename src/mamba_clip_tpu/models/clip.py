@@ -261,6 +261,7 @@ def build_clip(
     scan_impl: Optional[str] = None,
     quant: Optional[str] = None,
     gelu: str = "auto",
+    attn_remat: bool = False,
 ) -> ClipModel:
     """CLIP factory. ``biomedclip``/ViT names → ViT-B/16 + PubMedBERT-shaped
     towers; ``medmamba`` → VSSM vision tower (reference: model.py:1257-1289).
@@ -291,12 +292,12 @@ def build_clip(
             quick_gelu=quick_gelu, patch_dropout=patch_dropout,
             gelu_approx=gelu_approx,
             grad_checkpointing=grad_checkpointing, dtype=dtype,
-            dot_general_cls=dg_cls, name="visual",
+            dot_general_cls=dg_cls, attn_remat=attn_remat, name="visual",
         )
     text = TextBert(
         vocab_size=vocab_size, context_length=context_length,
         embed_dim=embed_dim, grad_checkpointing=grad_checkpointing,
         dtype=dtype, gelu_approx=gelu_approx,
-        dot_general_cls=dg_cls, name="text",
+        dot_general_cls=dg_cls, attn_remat=attn_remat, name="text",
     )
     return ClipModel(visual=visual, text=text, siglip=siglip)

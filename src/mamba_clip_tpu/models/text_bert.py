@@ -36,6 +36,7 @@ class BertBlock(nn.Module):
     dtype: Dtype = jnp.float32
     gelu_approx: bool = False
     dot_general_cls: Any = None  # AQT int8 injection (ops/quant.py)
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -46,7 +47,8 @@ class BertBlock(nn.Module):
         )
         y = FusedAttention(
             num_heads=self.num_heads, dtype=self.dtype,
-            dot_general_cls=self.dot_general_cls, name="attn",
+            dot_general_cls=self.dot_general_cls,
+            remat_probs=self.attn_remat, name="attn",
         )(x, pad_mask=mask)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_attn")(
             x + y
@@ -80,6 +82,7 @@ class TextBert(nn.Module):
     dtype: Dtype = jnp.float32
     gelu_approx: bool = False
     dot_general_cls: Any = None
+    attn_remat: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -114,7 +117,8 @@ class TextBert(nn.Module):
             x = block(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype, gelu_approx=self.gelu_approx,
-                dot_general_cls=self.dot_general_cls, name=f"block{i}",
+                dot_general_cls=self.dot_general_cls,
+                attn_remat=self.attn_remat, name=f"block{i}",
             )(x, pad_mask, deterministic)
 
         cls = x[:, 0].astype(jnp.float32)

@@ -38,6 +38,11 @@ class FusedAttention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     dot_general_cls: Any = None  # AQT int8 injection (ops/quant.py)
+    # Checkpoint the scores->probs interior: save only q/k/v, recompute the
+    # [B,h,T,T] attention probabilities in backward instead of saving them
+    # (~100 MB/layer at bs 64, the residual that drives XLA's auto-remat of
+    # whole attention chains — PERF.md round-3 attention-remat experiment).
+    remat_probs: bool = False
 
     def _dense(self, features, name, **kw):
         if self.dot_general_cls is not None:
@@ -51,17 +56,22 @@ class FusedAttention(nn.Module):
         hd = d // h
         qkv = self._dense(3 * d, "qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, T, h, hd)
-        k = k.reshape(B, T, h, hd)
-        v = v.reshape(B, T, h, hd)
-        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
-        s = s.astype(jnp.float32)
-        if pad_mask is not None:
-            # pad_mask: (B, 1, 1, T) True = attend
-            s = jnp.where(pad_mask, s, jnp.float32(-1e9))
-        p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, d)
-        return self._dense(d, "out")(o)
+
+        def interior(q, k, v, pad_mask):
+            q = q.reshape(B, T, h, hd)
+            k = k.reshape(B, T, h, hd)
+            v = v.reshape(B, T, h, hd)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+            s = s.astype(jnp.float32)
+            if pad_mask is not None:
+                # pad_mask: (B, 1, 1, T) True = attend
+                s = jnp.where(pad_mask, s, jnp.float32(-1e9))
+            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, d)
+
+        if self.remat_probs:
+            interior = jax.checkpoint(interior)
+        return self._dense(d, "out")(interior(q, k, v, pad_mask))
 
 
 class MlpBlock(nn.Module):
@@ -106,6 +116,7 @@ class EncoderBlock(nn.Module):
     gelu_approx: bool = False
     drop_rate: float = 0.0
     dot_general_cls: Any = None
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -115,6 +126,7 @@ class EncoderBlock(nn.Module):
         )
         y = FusedAttention(num_heads=self.num_heads, dtype=self.dtype,
                            dot_general_cls=self.dot_general_cls,
+                           remat_probs=self.attn_remat,
                            name="attn")(y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(
@@ -147,6 +159,7 @@ class VisionTransformer(nn.Module):
     grad_checkpointing: bool = False
     dtype: Dtype = jnp.float32
     dot_general_cls: Any = None  # AQT int8 injection into the hot GEMMs
+    attn_remat: bool = False  # recompute attention probs in backward
 
     @property
     def output_dim(self) -> int:
@@ -206,7 +219,8 @@ class VisionTransformer(nn.Module):
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype, quick_gelu=self.quick_gelu,
                 gelu_approx=self.gelu_approx,
-                dot_general_cls=self.dot_general_cls, name=f"block{i}",
+                dot_general_cls=self.dot_general_cls,
+                attn_remat=self.attn_remat, name=f"block{i}",
             )(x, deterministic)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x[:, 0])

@@ -1,0 +1,119 @@
+"""Native int8 dot_general with shared calibration (``--quant int8_fast``).
+
+Why this exists: the AQT path (ops/quant.py, ``--quant int8``) reaches the
+v5e MXU's ~1.83x int8 rate per dot, but recalibrates **per dot operand per
+use** — each Dense costs 6 full-tensor absmax reductions + 6 quantize
+passes per step (fwd lhs/rhs, then both backward dots requantize both
+operands). Profiling (PERF.md "Round-3 perf campaign") attributes ~20 ms
+of the int8 step to those calibration reads, which erases most of the MXU
+win at this model's GEMM shares.
+
+This module is the TPU-native alternative: one ``jax.custom_vjp`` dot that
+  * quantizes each tensor ONCE per step (3 calibrations/quantizations per
+    Dense: lhs, rhs in forward; the cotangent in backward),
+  * saves the **int8** quantized operands as residuals (half the bytes of
+    bf16 residuals — also lowers the activation pressure that drives XLA's
+    auto-remat),
+  * reuses those residuals for both backward dots, which is only sound
+    with per-tensor scales: every axis of lhs/rhs is contracted in one of
+    the three dots, so any finer (per-channel) scale could not be factored
+    out of all of them. Per-tensor is the price of single-quantization.
+
+Gradients are straight-through (quantization treated as identity), the
+same estimator AQT uses. int32 accumulation; max contraction here is
+M=B*L≈16k at |q|<=127, far inside int32 range.
+
+Like the AQT path this is opt-in: int8 numerics differ from the
+reference's AMP recipe (reference: src/mamba_clip/model.py bnb-linear
+swap is the analogous CUDA opt-in).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-6
+
+
+def _absmax_scale(x: jax.Array) -> jax.Array:
+    """Per-tensor symmetric scale mapping absmax -> 127."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    return jnp.maximum(amax, _EPS) / 127.0
+
+
+def _quantize(x: jax.Array, scale: jax.Array) -> jax.Array:
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+@jax.custom_vjp
+def int8_dense_dot(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
+    """int8 MXU dot for the flax Dense pattern: lhs[..., K] @ rhs[K, N]."""
+    out, _ = _fwd(lhs, rhs)
+    return out
+
+
+def _fwd(lhs, rhs):
+    sl, sr = _absmax_scale(lhs), _absmax_scale(rhs)
+    ql, qr = _quantize(lhs, sl), _quantize(rhs, sr)
+    acc = lax.dot_general(
+        ql, qr, (((lhs.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    out = (acc.astype(jnp.float32) * (sl * sr)).astype(out_dtype)
+    # Zero-size sentinels carry the operand dtypes to the backward pass
+    # (residual pytrees hold arrays, not dtype objects).
+    res = (ql, sl, qr, sr,
+           jnp.zeros((0,), lhs.dtype), jnp.zeros((0,), rhs.dtype))
+    return out, res
+
+
+def _bwd(res, g):
+    ql, sl, qr, sr, lhs_proto, rhs_proto = res
+    sg = _absmax_scale(g)
+    qg = _quantize(g, sg)
+    # dlhs[..., k] = sum_n g[..., n] rhs[k, n]  — reuse q(rhs)
+    dl = lax.dot_general(
+        qg, qr, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dlhs = (dl.astype(jnp.float32) * (sg * sr)).astype(lhs_proto.dtype)
+    # drhs[k, n] = sum_{leading} lhs[..., k] g[..., n]  — reuse q(lhs)
+    batch_axes = tuple(range(g.ndim - 1))
+    dr = lax.dot_general(
+        ql, qg, ((batch_axes, batch_axes), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    drhs = (dr.astype(jnp.float32) * (sl * sg)).astype(rhs_proto.dtype)
+    return dlhs, drhs
+
+
+int8_dense_dot.defvjp(_fwd, _bwd)
+
+_DENSE_PATTERN = "flax Dense contraction (((lhs.ndim-1,), (0,)), ((), ()))"
+
+
+class Int8FastDotGeneral:
+    """Drop-in ``dot_general_cls`` for flax Dense (see module docstring).
+
+    Only the Dense contraction pattern is supported — that is the only
+    pattern flax Dense emits, and the only injection point we use
+    (models/vit.py, models/text_bert.py).
+    """
+
+    def __call__(self, lhs, rhs, dimension_numbers, precision=None,
+                 preferred_element_type=None):
+        (lc, rc), (lb, rb) = dimension_numbers
+        if (tuple(lc), tuple(rc), tuple(lb), tuple(rb)) != \
+                ((lhs.ndim - 1,), (0,), (), ()):
+            raise NotImplementedError(
+                f"Int8FastDotGeneral supports only the {_DENSE_PATTERN}; "
+                f"got {dimension_numbers}"
+            )
+        out = int8_dense_dot(lhs, rhs)
+        if preferred_element_type is not None:
+            out = out.astype(preferred_element_type)
+        return out

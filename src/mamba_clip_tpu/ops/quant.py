@@ -23,7 +23,7 @@ from __future__ import annotations
 import functools
 from typing import Any, Optional
 
-_VALID = ("int8", "int8_fwd")
+_VALID = ("int8", "int8_fwd", "int8_fast")
 
 
 def make_dot_general_cls(quant: Optional[str]) -> Any:
@@ -32,6 +32,11 @@ def make_dot_general_cls(quant: Optional[str]) -> Any:
     silently run unquantized."""
     if not quant or quant == "none":
         return None
+    if quant == "int8_fast":
+        # Native shared-calibration int8 dot (ops/qdot.py) — one
+        # calibration per tensor per step instead of AQT's per-use six.
+        from .qdot import Int8FastDotGeneral
+        return Int8FastDotGeneral
     try:
         from aqt.jax.v2 import config as aqt_config
         from aqt.jax.v2.flax import aqt_flax

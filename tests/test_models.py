@@ -345,3 +345,36 @@ class TestGeluFlag:
 
         assert Args().gelu == "auto"
         assert parse_args(["--gelu", "exact"]).gelu == "exact"
+
+
+def test_attn_remat_is_numerically_transparent():
+    """`attn_remat` (FusedAttention remat_probs) is a pure perf lever:
+    forward outputs and input grads must match the default exactly.
+    Measured negative on the bench recipe (PERF.md round-3 attention-remat
+    experiment) but kept as an opt-in flag for long-sequence regimes."""
+    def make(attn_remat):
+        visual = VisionTransformer(
+            image_size=32, patch_size=16, width=32, depth=1, num_heads=2,
+            embed_dim=16, attn_remat=attn_remat, name="visual",
+        )
+        text = TextBert(
+            vocab_size=64, context_length=16, width=32, depth=1,
+            num_heads=2, embed_dim=16, attn_remat=attn_remat, name="text",
+        )
+        return ClipModel(visual=visual, text=text)
+
+    base, remat = make(False), make(True)
+    assert remat.visual.attn_remat and remat.text.attn_remat
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (2, 32, 32, 3))
+    tok = jnp.ones((2, 16), jnp.int32)
+    v = base.init({"params": rng}, image=img, text=tok)
+
+    def loss(m, im):
+        out = m.apply(v, image=im, text=tok)
+        return jnp.sum(out["image_features"] * out["text_features"])
+
+    l0, g0 = jax.value_and_grad(lambda im: loss(base, im))(img)
+    l1, g1 = jax.value_and_grad(lambda im: loss(remat, im))(img)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5)

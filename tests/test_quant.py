@@ -39,7 +39,7 @@ def test_unknown_quant_raises():
     assert make_dot_general_cls("none") is None
 
 
-@pytest.mark.parametrize("quant", ["int8", "int8_fwd"])
+@pytest.mark.parametrize("quant", ["int8", "int8_fwd", "int8_fast"])
 def test_int8_forward_close_but_not_equal(quant):
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (2, 32, 32, 3))
@@ -63,15 +63,64 @@ def test_int8_forward_close_but_not_equal(quant):
     assert np.max(np.abs(a - b)) < 0.2
 
 
-def test_int8_train_step_trains():
+def test_int8_fast_matches_fake_quant_ste():
+    """ops/qdot.py == explicit fake-quant + STE, fwd and both grads.
+
+    The custom VJP quantizes each tensor once (per-tensor scales) and
+    reuses the int8 residuals for both backward dots; this pins its
+    numerics to the dequantize-then-exact-dot reference it claims to
+    implement.
+    """
+    import jax.numpy as jnp
+
+    from mamba_clip_tpu.ops.qdot import (
+        _absmax_scale, _quantize, int8_dense_dot)
+
+    r = np.random.default_rng(0)
+    lhs = jnp.asarray(r.normal(size=(4, 7, 16)), jnp.float32)
+    rhs = jnp.asarray(r.normal(size=(16, 24)), jnp.float32)
+    w = jnp.asarray(r.normal(size=(4, 7, 24)), jnp.float32)
+
+    def fq(x):
+        s = _absmax_scale(x)
+        return _quantize(x, s).astype(jnp.float32) * s
+
+    out = int8_dense_dot(lhs, rhs)
+    ref = jnp.einsum("blk,kn->bln", fq(lhs), fq(rhs))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    gl, gr = jax.grad(
+        lambda a, b: jnp.sum(int8_dense_dot(a, b) * w), argnums=(0, 1)
+    )(lhs, rhs)
+    # backward quantizes the cotangent too and reuses q(lhs)/q(rhs)
+    ref_gl = jnp.einsum("bln,kn->blk", fq(w), fq(rhs))
+    ref_gr = jnp.einsum("blk,bln->kn", fq(lhs), fq(w))
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(ref_gl), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(ref_gr), atol=1e-5)
+
+
+def test_int8_fast_rejects_non_dense_pattern():
+    import jax.numpy as jnp
+
+    from mamba_clip_tpu.ops.qdot import Int8FastDotGeneral
+
+    dg = Int8FastDotGeneral()
+    a = jnp.ones((2, 3, 4))
+    b = jnp.ones((2, 4, 5))
+    with pytest.raises(NotImplementedError):
+        dg(a, b, (((2,), (1,)), ((0,), (0,))))  # batched contraction
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8_fast"])
+def test_int8_train_step_trains(quant):
     rng = jax.random.PRNGKey(0)
-    model = _clip("int8")
+    model = _clip(quant)
     variables = model.init(
         {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
         text=jnp.ones((2, 16), jnp.int32),
     )
     args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1,
-                precision="fp32", quant="int8")
+                precision="fp32", quant=quant)
     policy = get_policy("fp32")
     tcfg = get_transform_config(None, 32, is_train=True)
     schedule = create_schedule(args, 10)
