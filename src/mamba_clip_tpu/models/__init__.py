@@ -49,6 +49,7 @@ def build_classifier(
     dtype: Any = jnp.float32,
     grad_checkpointing: bool = False,
     scan_impl: Optional[str] = None,
+    quant: Optional[str] = None,
 ):
     """Classifier model zoo (reference: integrations/optuna.py:85-114):
     ``None``/``vssm``/``medmamba`` → the VSSM (medmamba) classifier;
@@ -57,17 +58,21 @@ def build_classifier(
     NVIDIA mambavision from the HF hub; this framework's Mamba vision
     family is the in-repo VSSM). Anything else raises — there is no hub
     access for ``AutoModelForImageClassification`` equivalents."""
+    from ..ops.quant import make_dot_general_cls
+
+    dg_cls = make_dot_general_cls(quant)
     n = (name or "vssm").lower()
     if n in ("vssm", "medmamba"):
         return medmamba(
             num_classes=num_classes, dtype=dtype,
             use_checkpoint=grad_checkpointing, scan_impl=scan_impl,
+            dot_general_cls=dg_cls,
         )
     if "mamba" in n:
         backbone = VSSM(
             depths=(2, 2, 8, 2), dims=(64, 128, 256, 512), num_classes=0,
             dtype=dtype, use_checkpoint=grad_checkpointing,
-            scan_impl=scan_impl,
+            scan_impl=scan_impl, dot_general_cls=dg_cls,
         )
         return MambaVisionClassifier(backbone=backbone, num_classes=num_classes)
     raise ValueError(

@@ -283,7 +283,7 @@ def build_clip(
     if "medmamba" in name or "vssm" in name:
         vssm = VSSM(
             depths=(2, 2, 8, 2), dims=(64, 128, 256, 512), num_classes=0,
-            dtype=dtype, scan_impl=scan_impl,
+            dtype=dtype, scan_impl=scan_impl, dot_general_cls=dg_cls,
         )
         visual = VssmTower(vssm=vssm, embed_dim=embed_dim, name="visual")
     else:

@@ -39,6 +39,18 @@ trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, uppe
 conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def _dense(dot_general_cls, *args, **kw):
+    """nn.Dense with optional quantized dot injection (ops/quant.py) — the
+    same hook the ViT/BERT towers expose, so ``--quant`` applies to the
+    VSSM family's GEMMs too (in/out projections, patch-merge reductions).
+    The per-direction einsum projections and the Pallas scan stay
+    unquantized: the scan is VPU-bound and the einsums are batched
+    contractions outside the supported Dense pattern."""
+    if dot_general_cls is not None:
+        kw["dot_general_cls"] = dot_general_cls
+    return nn.Dense(*args, **kw)
+
+
 def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     """Interleave channel groups (reference: model.py:650-663)."""
     b, h, w, c = x.shape
@@ -116,6 +128,7 @@ class SS2D(nn.Module):
     bias: bool = False
     dtype: Dtype = jnp.float32
     scan_impl: Optional[str] = None
+    dot_general_cls: Any = None  # quantized dot injection (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -127,7 +140,8 @@ class SS2D(nn.Module):
         N = self.d_state
         cdt = self.dtype
 
-        xz = nn.Dense(
+        xz = _dense(
+            self.dot_general_cls,
             d_inner * 2, use_bias=self.bias, dtype=cdt,
             kernel_init=trunc_normal_02, name="in_proj",
         )(x.astype(cdt))
@@ -194,7 +208,8 @@ class SS2D(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
         y = y * nn.silu(z.astype(jnp.float32).reshape(B, L, d_inner))
         y = y.reshape(B, H, W, d_inner).astype(cdt)
-        out = nn.Dense(
+        out = _dense(
+            self.dot_general_cls,
             self.d_model, use_bias=self.bias, dtype=cdt,
             kernel_init=trunc_normal_02, name="out_proj",
         )(y)
@@ -242,6 +257,7 @@ class SSConvSSM(nn.Module):
     dtype: Dtype = jnp.float32
     scan_impl: Optional[str] = None
     bn_axis_name: Optional[str] = None
+    dot_general_cls: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -250,7 +266,8 @@ class SSConvSSM(nn.Module):
         r = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_1")(right)
         r = SS2D(
             d_model=half, d_state=self.d_state, dropout=self.attn_drop_rate,
-            dtype=self.dtype, scan_impl=self.scan_impl, name="self_attention",
+            dtype=self.dtype, scan_impl=self.scan_impl,
+            dot_general_cls=self.dot_general_cls, name="self_attention",
         )(r.astype(self.dtype), deterministic=deterministic)
         r = DropPath(self.drop_path)(r, deterministic=deterministic)
         l = ConvBranch(half, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(
@@ -288,6 +305,7 @@ class PatchMerging2D(nn.Module):
 
     dim: int
     dtype: Dtype = jnp.float32
+    dot_general_cls: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -300,7 +318,8 @@ class PatchMerging2D(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(
             self.dtype
         )
-        return nn.Dense(
+        return _dense(
+            self.dot_general_cls,
             2 * self.dim, use_bias=False, dtype=self.dtype,
             kernel_init=trunc_normal_02, name="reduction",
         )(x)
@@ -367,6 +386,7 @@ class VSSLayer(nn.Module):
     dtype: Dtype = jnp.float32
     scan_impl: Optional[str] = None
     bn_axis_name: Optional[str] = None
+    dot_general_cls: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -383,10 +403,14 @@ class VSSLayer(nn.Module):
                 dtype=self.dtype,
                 scan_impl=self.scan_impl,
                 bn_axis_name=self.bn_axis_name,
+                dot_general_cls=self.dot_general_cls,
                 name=f"block{i}",
             )(x, deterministic)
         if self.downsample:
-            x = PatchMerging2D(self.dim, dtype=self.dtype, name="downsample")(x)
+            x = PatchMerging2D(
+                self.dim, dtype=self.dtype,
+                dot_general_cls=self.dot_general_cls, name="downsample",
+            )(x)
         return x
 
 
@@ -444,6 +468,7 @@ class VSSM(nn.Module):
     dtype: Dtype = jnp.float32
     scan_impl: Optional[str] = None
     bn_axis_name: Optional[str] = None
+    dot_general_cls: Any = None
 
     @property
     def num_features(self) -> int:
@@ -480,6 +505,7 @@ class VSSM(nn.Module):
                 dtype=self.dtype,
                 scan_impl=self.scan_impl,
                 bn_axis_name=self.bn_axis_name,
+                dot_general_cls=self.dot_general_cls,
                 name=f"layer{i}",
             )(x, deterministic)
         feats = jnp.mean(x, axis=(1, 2))  # (B, num_features)

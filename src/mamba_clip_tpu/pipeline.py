@@ -537,6 +537,7 @@ def pipeline(args: Args):
                 stage1_name, num_classes=args.num_classes or 2,
                 dtype=policy.compute_dtype,
                 grad_checkpointing=args.grad_checkpointing,
+                quant=args.quant,
             )
         else:
             model = build_clip(

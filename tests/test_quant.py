@@ -142,3 +142,31 @@ def test_int8_train_step_trains(quant):
                         jax.tree_util.tree_leaves(new_state.params))
     )
     assert delta > 0
+
+
+def test_quant_applies_to_vssm_tower():
+    """--quant engages the VSSM (medmamba) family's Denses too: quantized
+    forward differs from unquantized but stays close, and grads flow."""
+    from mamba_clip_tpu.models import build_classifier
+
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (2, 32, 32, 3))
+
+    def feats(quant):
+        m = build_classifier("medmamba", num_classes=3, quant=quant)
+        v = m.init({"params": rng}, img)
+        return m, v, np.asarray(m.apply(v, img))
+
+    m0, _, a = feats(None)
+    mq, vq, b = feats("int8_fast")
+    assert not np.allclose(a, b)
+    assert np.max(np.abs(a - b)) < 1.0
+
+    g = jax.grad(
+        lambda p: jnp.sum(
+            mq.apply({**vq, "params": p}, img) ** 2
+        )
+    )(vq["params"])
+    in_proj_g = g["layer0"]["block0"]["self_attention"]["in_proj"]["kernel"]
+    assert np.isfinite(np.asarray(in_proj_g)).all()
+    assert np.abs(np.asarray(in_proj_g)).max() > 0
