@@ -69,6 +69,7 @@ class TrialRunner:
                 args.model, num_classes=args.num_classes or 2,
                 dtype=policy.compute_dtype,
                 grad_checkpointing=args.grad_checkpointing,
+                quant=args.quant,
             )
         tokenizer = get_tokenizer(args.tokenizer or "hash")
         self.data = _build_data(args, self.run, tokenizer, tcfg_train, tcfg_val)

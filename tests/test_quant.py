@@ -170,3 +170,81 @@ def test_quant_applies_to_vssm_tower():
     in_proj_g = g["layer0"]["block0"]["self_attention"]["in_proj"]["kernel"]
     assert np.isfinite(np.asarray(in_proj_g)).all()
     assert np.abs(np.asarray(in_proj_g)).max() > 0
+
+
+def test_int8_fast_sharded_step_matches_single_device():
+    """--quant int8_fast under a data x fsdp x model mesh tracks the
+    single-device step closely.
+
+    The model forward runs under jit with NamedShardings (global-semantics
+    SPMD), so qdot's per-tensor absmax is a GLOBAL reduction and the int8
+    dots partial-sum exactly in int32 across shards. Bit-equality is NOT
+    the spec though: sharding changes reduction orders in the upstream
+    layernorms/matmuls by ~1 ULP, and int8 ``round()`` amplifies any such
+    difference discontinuously when an element sits on a rounding
+    boundary (measured: 0.2% loss delta on a full-width model — vs 1e-7
+    for the unquantized step, pinned exactly by
+    test_fsdp_tp_train_step_matches_replicated). This test pins that
+    --quant composes with the data/fsdp/model mesh (compiles, runs, and
+    stays in the quantization-noise envelope) rather than being a
+    single-chip-only mode."""
+    from mamba_clip_tpu.models.clip import ClipModel
+    from mamba_clip_tpu.models.text_bert import TextBert
+    from mamba_clip_tpu.models.vit import VisionTransformer
+    from mamba_clip_tpu.ops.qdot import Int8FastDotGeneral
+    from mamba_clip_tpu.parallel.mesh import (
+        MeshSpec, create_mesh, data_sharding, param_sharding, replicated)
+
+    rng = jax.random.PRNGKey(0)
+    visual = VisionTransformer(
+        image_size=32, patch_size=16, width=32, depth=1, num_heads=2,
+        embed_dim=16, dot_general_cls=Int8FastDotGeneral, name="visual")
+    text = TextBert(
+        vocab_size=64, context_length=16, width=32, depth=1, num_heads=2,
+        embed_dim=16, dot_general_cls=Int8FastDotGeneral, name="text")
+    model = ClipModel(visual=visual, text=text)
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.ones((2, 16), jnp.int32),
+    )
+    args = Args(batch_size=16, epochs=1, lr=1e-3, warmup=1,
+                precision="fp32", quant="int8_fast")
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    r = np.random.default_rng(0)
+    batch = {
+        "image": r.integers(0, 256, (16, 40, 40, 3), dtype=np.uint8),
+        "tokens": r.integers(4, 64, (16, 16), dtype=np.int32),
+    }
+
+    results = {}
+    for name, spec in [("replicated", MeshSpec()),
+                       ("fsdp_tp", MeshSpec(data=2, fsdp=2, model=2))]:
+        mesh = create_mesh(spec)
+        state = create_train_state(variables["params"], tx, {})
+        if name == "fsdp_tp":
+            state = jax.device_put(state, param_sharding(mesh, state))
+        else:
+            state = jax.device_put(state, replicated(mesh))
+        b = jax.device_put(batch, data_sharding(mesh))
+        fn = jax.jit(make_clip_train_step(model, tx, policy, args, tcfg,
+                                          schedule))
+        with mesh:
+            new_state, metrics = fn(state, b, rng)
+        results[name] = (float(metrics["loss"]),
+                         float(metrics["grad_norm"]),
+                         jax.device_get(new_state.params))
+
+    rep, sh = results["replicated"], results["fsdp_tp"]
+    # quantization-noise envelope, not ULP equality (see docstring)
+    assert np.isclose(rep[0], sh[0], rtol=1e-2)
+    assert np.isclose(rep[1], sh[1], rtol=1e-1)
+    # AdamW bounds each element's update by ~lr; rounding-boundary flips
+    # can at most swing it to the opposite sign
+    lr = 1e-3
+    for a, b_ in zip(jax.tree_util.tree_leaves(rep[2]),
+                     jax.tree_util.tree_leaves(sh[2])):
+        diff = np.abs(np.asarray(a) - np.asarray(b_))
+        assert diff.max(initial=0.0) <= 2 * lr + 1e-6, diff.max()
