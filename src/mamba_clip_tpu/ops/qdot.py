@@ -93,16 +93,87 @@ def _bwd(res, g):
 
 int8_dense_dot.defvjp(_fwd, _bwd)
 
+
+# ---------------------------------------------------------------------------
+# Serving variant: per-output-channel weight scales (``--quant int8_serve``)
+# ---------------------------------------------------------------------------
+#
+# int8_fast's per-tensor weight scale is forced by training: every axis of
+# the weight is contracted in one of the three dots, so a finer scale could
+# not be factored out of all of them. Forward-only serving has no such
+# constraint — the weight's output axis N is never contracted in the
+# forward dot, so a per-column scale s_r[n] factors cleanly:
+#     out[..., n] = (sum_k q_l q_r[k, n]) * s_l * s_r[n]
+# Per-channel scales cut weight quantization error for columns with small
+# dynamic range (the usual case after LayerNorm-scaled training), at zero
+# runtime cost: the rescale fuses into the epilogue either way.
+#
+# Gradients (if anyone differentiates a serve model, e.g. for saliency)
+# fall back to bf16 dots over the dequantized operands — exact
+# straight-through semantics, no per-channel factorization needed.
+
+
+def _absmax_scale_cols(x: jax.Array) -> jax.Array:
+    """Per-output-channel symmetric scales for a [K, N] weight -> [N]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=0)
+    return jnp.maximum(amax, _EPS) / 127.0
+
+
+@jax.custom_vjp
+def int8_serve_dot(lhs: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Forward-optimized int8 dot: per-tensor lhs, per-channel rhs scales."""
+    out, _ = _serve_fwd(lhs, rhs)
+    return out
+
+
+def _serve_fwd(lhs, rhs):
+    sl = _absmax_scale(lhs)
+    sr = _absmax_scale_cols(rhs)
+    ql = _quantize(lhs, sl)
+    qr = jnp.clip(jnp.round(rhs.astype(jnp.float32) / sr), -127.0, 127.0
+                  ).astype(jnp.int8)
+    acc = lax.dot_general(
+        ql, qr, (((lhs.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    out = (acc.astype(jnp.float32) * (sl * sr)).astype(out_dtype)
+    res = (ql, sl, qr, sr,
+           jnp.zeros((0,), lhs.dtype), jnp.zeros((0,), rhs.dtype))
+    return out, res
+
+
+def _serve_bwd(res, g):
+    ql, sl, qr, sr, lhs_proto, rhs_proto = res
+    # Dequantize once; backward runs as ordinary bf16/fp32 dots. Serving
+    # never takes this path — it exists so the op is a total function.
+    lhs_deq = ql.astype(jnp.float32) * sl
+    rhs_deq = qr.astype(jnp.float32) * sr
+    gf = g.astype(jnp.float32)
+    dlhs = lax.dot_general(
+        gf, rhs_deq, (((g.ndim - 1,), (1,)), ((), ())),
+    ).astype(lhs_proto.dtype)
+    batch_axes = tuple(range(g.ndim - 1))
+    drhs = lax.dot_general(
+        lhs_deq, gf, ((batch_axes, batch_axes), ((), ())),
+    ).astype(rhs_proto.dtype)
+    return dlhs, drhs
+
+
+int8_serve_dot.defvjp(_serve_fwd, _serve_bwd)
+
 _DENSE_PATTERN = "flax Dense contraction (((lhs.ndim-1,), (0,)), ((), ()))"
 
 
-class Int8FastDotGeneral:
+class _DenseDotGeneral:
     """Drop-in ``dot_general_cls`` for flax Dense (see module docstring).
 
     Only the Dense contraction pattern is supported — that is the only
     pattern flax Dense emits, and the only injection point we use
-    (models/vit.py, models/text_bert.py).
+    (models/vit.py, models/text_bert.py, models/vssm.py).
     """
+
+    _dot = None  # staticmethod(lhs, rhs) -> out; set by subclasses
 
     def __call__(self, lhs, rhs, dimension_numbers, precision=None,
                  preferred_element_type=None):
@@ -110,10 +181,22 @@ class Int8FastDotGeneral:
         if (tuple(lc), tuple(rc), tuple(lb), tuple(rb)) != \
                 ((lhs.ndim - 1,), (0,), (), ()):
             raise NotImplementedError(
-                f"Int8FastDotGeneral supports only the {_DENSE_PATTERN}; "
+                f"{type(self).__name__} supports only the {_DENSE_PATTERN}; "
                 f"got {dimension_numbers}"
             )
-        out = int8_dense_dot(lhs, rhs)
+        out = type(self)._dot(lhs, rhs)
         if preferred_element_type is not None:
             out = out.astype(preferred_element_type)
         return out
+
+
+class Int8FastDotGeneral(_DenseDotGeneral):
+    """Shared-calibration int8 training dot (``--quant int8_fast``)."""
+
+    _dot = staticmethod(int8_dense_dot)
+
+
+class Int8ServeDotGeneral(_DenseDotGeneral):
+    """Per-channel-weight int8 serving dot (``--quant int8_serve``)."""
+
+    _dot = staticmethod(int8_serve_dot)

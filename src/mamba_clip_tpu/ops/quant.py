@@ -23,7 +23,7 @@ from __future__ import annotations
 import functools
 from typing import Any, Optional
 
-_VALID = ("int8", "int8_fwd", "int8_fast")
+_VALID = ("int8", "int8_fwd", "int8_fast", "int8_serve")
 
 
 def make_dot_general_cls(quant: Optional[str]) -> Any:
@@ -37,6 +37,12 @@ def make_dot_general_cls(quant: Optional[str]) -> Any:
         # calibration per tensor per step instead of AQT's per-use six.
         from .qdot import Int8FastDotGeneral
         return Int8FastDotGeneral
+    if quant == "int8_serve":
+        # Forward-optimized serving dot: per-output-channel weight scales
+        # (finer than training can afford — see ops/qdot.py), bf16
+        # dequantized backward. For inference paths (eval, bench_infer).
+        from .qdot import Int8ServeDotGeneral
+        return Int8ServeDotGeneral
     try:
         from aqt.jax.v2 import config as aqt_config
         from aqt.jax.v2.flax import aqt_flax

@@ -1,0 +1,222 @@
+"""Serving export: batch-polymorphic StableHLO artifacts via ``jax.export``.
+
+The reference's deployment story is "re-run eval's forward under
+``torch.no_grad()``" inside the training codebase (reference:
+src/mamba_clip/eval.py:104-150) — there is no exportable artifact. The
+XLA-native equivalent is ``jax.export``: serialize the jitted forward
+(with the fused on-device eval preprocess, ops/preprocess.py) as
+versioned, batch-polymorphic StableHLO that any JAX process — or a
+PjRT-embedding C++ server — can reload and run without this package's
+model code on the import path.
+
+Artifacts written by :func:`export_serving` into ``out_dir``:
+
+- ``<fn>.stablehlo``    — serialized ``jax.export.Exported`` per entry
+  point (``image_embed`` / ``text_embed`` for CLIP, ``classify`` for the
+  classifier zoo), each taking ``(params, input)`` with a symbolic batch
+  dimension.
+- ``params.msgpack``    — the parameter pytree (flax serialization).
+- ``manifest.json``     — model name, entry points, input specs, quant
+  mode, and preprocessing config, so a server can validate its feed.
+
+Quantized serving composes: pass ``quant="int8_serve"`` (per-channel
+weight scales, ops/qdot.py) and the exported graph carries the int8
+MXU dots.
+
+Round-trip loader: :func:`load_serving` — used by the tests and usable
+as a minimal in-process server.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+_MANIFEST = "manifest.json"
+_PARAMS = "params.msgpack"
+
+
+def _eval_prep(tcfg, compute_dtype):
+    from .ops.preprocess import eval_preprocess
+
+    def prep(image_u8):
+        return eval_preprocess(
+            image_u8, out_size=tcfg.image_size, mean=tcfg.mean,
+            std=tcfg.std, out_dtype=compute_dtype,
+            interpolation=tcfg.interpolation or "bilinear",
+        )
+
+    return prep
+
+
+def make_serving_fns(
+    model_name: str = "biomedclip",
+    *,
+    num_classes: int = 2,
+    quant: Optional[str] = None,
+    scan_impl: Optional[str] = None,
+    precision: str = "amp",
+    image_size: int = 224,
+    staging_size: Optional[int] = None,
+    context_length: int = 256,
+    rng: Optional[jax.Array] = None,
+):
+    """Build (model, init params, {entry_point: fn(params, x)}) for serving.
+
+    Entry points take raw ``uint8 [B, staging, staging, 3]`` images (the
+    host JPEG-decode wire format) or ``int32 [B, context]`` tokens, run
+    the fused eval preprocess + forward, and return fp32 outputs:
+    L2-normalized embeddings for the CLIP towers, class probabilities for
+    the classifier zoo (reference: src/mamba_clip/eval.py:104-150).
+    """
+    from .data.preprocess_cfg import get_transform_config
+    from .models import build_classifier, build_clip
+    from .utils.precision import get_policy
+
+    policy = get_policy(precision)
+    tcfg = get_transform_config(None, image_size, is_train=False)
+    prep = _eval_prep(tcfg, policy.compute_dtype)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    if model_name in (None, "vssm", "medmamba") or "mamba" in str(model_name):
+        model = build_classifier(
+            model_name, num_classes=num_classes,
+            dtype=policy.compute_dtype, quant=quant, scan_impl=scan_impl,
+        )
+        variables = model.init(
+            {"params": rng},
+            jnp.zeros((2, image_size, image_size, 3), policy.compute_dtype),
+        )
+
+        def classify(variables, image_u8):
+            logits = model.apply(variables, prep(image_u8),
+                                 deterministic=True)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        fns = {"classify": classify}
+    else:
+        model = build_clip(
+            model_name=model_name, image_size=image_size,
+            context_length=context_length, dtype=policy.compute_dtype,
+            quant=quant, scan_impl=scan_impl,
+        )
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            image=jnp.zeros((2, image_size, image_size, 3),
+                            policy.compute_dtype),
+            text=jnp.zeros((2, context_length), jnp.int32),
+        )
+
+        def image_embed(variables, image_u8):
+            feats = model.apply(
+                variables, image=prep(image_u8), method=model.encode_image,
+                normalize=True, deterministic=True)
+            return feats.astype(jnp.float32)
+
+        def text_embed(variables, tokens):
+            feats = model.apply(
+                variables, text=tokens, method=model.encode_text,
+                normalize=True, deterministic=True)
+            return feats.astype(jnp.float32)
+
+        fns = {"image_embed": image_embed, "text_embed": text_embed}
+
+    meta = {
+        "model": model_name,
+        "quant": quant,
+        "precision": precision,
+        "image_size": image_size,
+        "staging_size": staging_size or tcfg.staging_size,
+        "context_length": context_length,
+        "num_classes": num_classes,
+        "mean": list(tcfg.mean),
+        "std": list(tcfg.std),
+    }
+    return model, variables, fns, meta
+
+
+def export_serving(
+    out_dir: str,
+    model_name: str = "biomedclip",
+    *,
+    variables: Optional[Any] = None,
+    platforms: Optional[tuple] = None,
+    **kw,
+) -> Dict[str, Any]:
+    """Export batch-polymorphic serving graphs + params to ``out_dir``.
+
+    ``variables``: trained variables (e.g. from checkpoint.load_params_only
+    wrapped as {"params": ...}); defaults to fresh init (tests, smoke).
+    ``platforms``: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
+    defaults to the current default backend.
+    """
+    from flax import serialization
+    from jax import export as jexport
+
+    model, init_vars, fns, meta = make_serving_fns(model_name, **kw)
+    variables = init_vars if variables is None else variables
+
+    os.makedirs(out_dir, exist_ok=True)
+    (b,) = jexport.symbolic_shape("b")
+    var_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
+    in_specs = {
+        "classify": jax.ShapeDtypeStruct(
+            (b, meta["staging_size"], meta["staging_size"], 3), jnp.uint8),
+        "image_embed": jax.ShapeDtypeStruct(
+            (b, meta["staging_size"], meta["staging_size"], 3), jnp.uint8),
+        "text_embed": jax.ShapeDtypeStruct(
+            (b, meta["context_length"]), jnp.int32),
+    }
+
+    entry_points = {}
+    for name, fn in fns.items():
+        exp = jexport.export(
+            jax.jit(fn),
+            platforms=list(platforms) if platforms else None,
+        )(var_spec, in_specs[name])
+        path = os.path.join(out_dir, f"{name}.stablehlo")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        entry_points[name] = {
+            "file": f"{name}.stablehlo",
+            "input_shape": [str(d) for d in in_specs[name].shape],
+            "input_dtype": str(in_specs[name].dtype),
+        }
+
+    with open(os.path.join(out_dir, _PARAMS), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(variables)))
+    manifest = dict(meta, entry_points=entry_points,
+                    platforms=list(platforms) if platforms else
+                    [jax.default_backend()])
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_serving(out_dir: str) -> Dict[str, Any]:
+    """Reload an exported serving dir → {entry_point: fn(input) -> fp32}.
+
+    The returned callables close over the restored params; inputs are the
+    wire formats documented in the manifest. This is the minimal
+    in-process server; a production host would hand the same artifacts to
+    a PjRT runtime.
+    """
+    from flax import serialization
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    with open(os.path.join(out_dir, _PARAMS), "rb") as f:
+        variables = serialization.msgpack_restore(f.read())
+
+    fns = {}
+    for name, ep in manifest["entry_points"].items():
+        with open(os.path.join(out_dir, ep["file"]), "rb") as f:
+            exp = jexport.deserialize(f.read())
+        fns[name] = (lambda e: lambda x: e.call(variables, x))(exp)
+    return {"manifest": manifest, **fns}

@@ -39,7 +39,8 @@ def test_unknown_quant_raises():
     assert make_dot_general_cls("none") is None
 
 
-@pytest.mark.parametrize("quant", ["int8", "int8_fwd", "int8_fast"])
+@pytest.mark.parametrize("quant", ["int8", "int8_fwd", "int8_fast",
+                                   "int8_serve"])
 def test_int8_forward_close_but_not_equal(quant):
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (2, 32, 32, 3))
@@ -97,6 +98,73 @@ def test_int8_fast_matches_fake_quant_ste():
     ref_gr = jnp.einsum("blk,bln->kn", fq(lhs), fq(w))
     np.testing.assert_allclose(np.asarray(gl), np.asarray(ref_gl), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gr), np.asarray(ref_gr), atol=1e-5)
+
+
+def test_int8_serve_matches_per_channel_fake_quant():
+    """int8_serve (ops/qdot.py) == fake-quant with per-channel rhs scales
+    in the forward, and bf16-dequantized exact dots in the backward."""
+    from mamba_clip_tpu.ops.qdot import (
+        _absmax_scale, _absmax_scale_cols, _quantize, int8_serve_dot)
+
+    r = np.random.default_rng(1)
+    lhs = jnp.asarray(r.normal(size=(3, 5, 16)), jnp.float32)
+    # uneven per-column dynamic range so per-channel scales matter
+    rhs = jnp.asarray(r.normal(size=(16, 24)) *
+                      np.geomspace(0.01, 10.0, 24), jnp.float32)
+    w = jnp.asarray(r.normal(size=(3, 5, 24)), jnp.float32)
+
+    sl = _absmax_scale(lhs)
+    lhs_fq = _quantize(lhs, sl).astype(jnp.float32) * sl
+    sr = _absmax_scale_cols(rhs)
+    rhs_fq = jnp.clip(jnp.round(rhs / sr), -127, 127) * sr
+
+    out = int8_serve_dot(lhs, rhs)
+    ref = jnp.einsum("blk,kn->bln", lhs_fq, rhs_fq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    gl, gr = jax.grad(
+        lambda a, b: jnp.sum(int8_serve_dot(a, b) * w), argnums=(0, 1)
+    )(lhs, rhs)
+    # backward = exact fp32 dots over the dequantized residuals (STE)
+    ref_gl = jnp.einsum("bln,kn->blk", w, rhs_fq)
+    ref_gr = jnp.einsum("blk,bln->kn", lhs_fq, w)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(ref_gl),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(ref_gr),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int8_serve_per_channel_beats_per_tensor():
+    """On weights with uneven column ranges (the serving case this mode
+    exists for), per-channel scales give strictly lower quantization error
+    than int8_fast's per-tensor scale."""
+    from mamba_clip_tpu.ops.qdot import int8_dense_dot, int8_serve_dot
+
+    r = np.random.default_rng(2)
+    # lhs lies exactly on its int8 grid (ints, absmax pinned to 127) so
+    # the error comparison isolates the WEIGHT scale granularity — with a
+    # noisy lhs both modes' errors are dominated by the shared activation
+    # quantization and the comparison is vacuous.
+    lhs_i = r.integers(-126, 127, size=(8, 64)).astype(np.float32)
+    lhs_i[0, 0] = 127.0
+    lhs = jnp.asarray(lhs_i / 127.0, jnp.float32)
+    rhs = jnp.asarray(r.normal(size=(64, 32)) *
+                      np.geomspace(0.01, 10.0, 32), jnp.float32)
+    exact = np.asarray(lhs @ rhs)
+    # Per-column RELATIVE error: per-tensor scales crush the small-range
+    # columns' resolution (their error is flat in absolute terms across
+    # columns); per-channel scales make every column's error proportional
+    # to its own range. Max-abs alone would only see the largest column,
+    # where the two modes coincide by construction.
+    col_norm = np.abs(exact).max(axis=0)
+    rel_serve = (np.abs(np.asarray(int8_serve_dot(lhs, rhs)) - exact)
+                 .max(axis=0) / col_norm)
+    rel_fast = (np.abs(np.asarray(int8_dense_dot(lhs, rhs)) - exact)
+                .max(axis=0) / col_norm)
+    assert rel_serve.max() < rel_fast.max() / 20, (
+        rel_serve.max(), rel_fast.max())
+    assert rel_serve.mean() < rel_fast.mean() / 20
 
 
 def test_int8_fast_rejects_non_dense_pattern():

@@ -20,8 +20,9 @@ backend — see .claude/skills/verify/SKILL.md). Each jitted call executes
 in full; nothing constant-folds across dispatches.
 
 Env knobs: BENCH_INFER_BATCH (64), BENCH_INFER_STEPS (30), BENCH_QUANT
-(unset|int8_fast|int8_fwd|int8 — applied to both towers / the VSSM
-GEMMs, ops/quant.py + ops/qdot.py).
+(unset|int8_serve|int8_fast|int8_fwd|int8 — applied to both towers / the
+VSSM GEMMs, ops/quant.py + ops/qdot.py; int8_serve is the serving mode:
+per-output-channel weight scales, forward-only optimized).
 
 Output: one JSON line per scenario.
 """
