@@ -145,6 +145,7 @@ def export_serving(
     *,
     variables: Optional[Any] = None,
     platforms: Optional[tuple] = None,
+    data_shards: int = 1,
     **kw,
 ) -> Dict[str, Any]:
     """Export batch-polymorphic serving graphs + params to ``out_dir``.
@@ -153,6 +154,12 @@ def export_serving(
     wrapped as {"params": ...}); defaults to fresh init (tests, smoke).
     ``platforms``: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
     defaults to the current default backend.
+    ``data_shards``: >1 exports a DATA-PARALLEL serving graph — params
+    replicated, batch sharded over a ``data_shards``-device mesh (the
+    batch dim becomes ``data_shards*b``, so any multiple works). The
+    loading process must have at least that many devices; embedding
+    serving is embarrassingly parallel so this is the whole multi-chip
+    story (no cross-device collectives in the forward).
     """
     from flax import serialization
     from jax import export as jexport
@@ -161,7 +168,12 @@ def export_serving(
     variables = init_vars if variables is None else variables
 
     os.makedirs(out_dir, exist_ok=True)
-    (b,) = jexport.symbolic_shape("b")
+    if data_shards > 1:
+        # batch = data_shards * b: divisibility by the mesh's data axis is
+        # part of the exported calling convention, not a runtime check.
+        (b,) = jexport.symbolic_shape(f"{data_shards}*b")
+    else:
+        (b,) = jexport.symbolic_shape("b")
     var_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
     in_specs = {
@@ -173,10 +185,20 @@ def export_serving(
             (b, meta["context_length"]), jnp.int32),
     }
 
+    jit_kw = {}
+    if data_shards > 1:
+        from .parallel.mesh import (
+            MeshSpec, create_mesh, data_sharding, replicated)
+
+        mesh = create_mesh(MeshSpec(data=data_shards),
+                           devices=jax.devices()[:data_shards])
+        jit_kw = dict(in_shardings=(replicated(mesh), data_sharding(mesh)),
+                      out_shardings=data_sharding(mesh))
+
     entry_points = {}
     for name, fn in fns.items():
         exp = jexport.export(
-            jax.jit(fn),
+            jax.jit(fn, **jit_kw),
             platforms=list(platforms) if platforms else None,
         )(var_spec, in_specs[name])
         path = os.path.join(out_dir, f"{name}.stablehlo")
@@ -191,6 +213,7 @@ def export_serving(
     with open(os.path.join(out_dir, _PARAMS), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(variables)))
     manifest = dict(meta, entry_points=entry_points,
+                    data_shards=data_shards,
                     platforms=list(platforms) if platforms else
                     [jax.default_backend()])
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
@@ -214,9 +237,30 @@ def load_serving(out_dir: str) -> Dict[str, Any]:
     with open(os.path.join(out_dir, _PARAMS), "rb") as f:
         variables = serialization.msgpack_restore(f.read())
 
+    shards = int(manifest.get("data_shards", 1))
+    if shards > 1:
+        # A multi-device export must be invoked from a matching sharded
+        # context: rebuild the data mesh and jit the call with the
+        # export-time shardings (params replicated, batch data-sharded).
+        from .parallel.mesh import (
+            MeshSpec, create_mesh, data_sharding, replicated)
+
+        mesh = create_mesh(MeshSpec(data=shards),
+                           devices=jax.devices()[:shards])
+
+        def wrap(e):
+            return jax.jit(
+                e.call,
+                in_shardings=(replicated(mesh), data_sharding(mesh)),
+                out_shardings=data_sharding(mesh),
+            )
+    else:
+        def wrap(e):
+            return e.call
+
     fns = {}
     for name, ep in manifest["entry_points"].items():
         with open(os.path.join(out_dir, ep["file"]), "rb") as f:
             exp = jexport.deserialize(f.read())
-        fns[name] = (lambda e: lambda x: e.call(variables, x))(exp)
+        fns[name] = (lambda c: lambda x: c(variables, x))(wrap(exp))
     return {"manifest": manifest, **fns}

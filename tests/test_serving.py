@@ -131,6 +131,32 @@ def test_export_tool_loads_checkpoint_params(tmp_path, monkeypatch):
         np.asarray(served["image_embed"](img)), direct, atol=5e-5)
 
 
+def test_data_parallel_export(tmp_path):
+    """data_shards=8: the exported graph shards the batch over an 8-device
+    data mesh (params replicated) and matches the single-device export."""
+    _, variables, _, meta = make_serving_fns("biomedclip", **_tiny_clip_kw())
+    out1 = str(tmp_path / "dp1")
+    out8 = str(tmp_path / "dp8")
+    export_serving(out1, "biomedclip", variables=variables, **_tiny_clip_kw())
+    manifest = export_serving(out8, "biomedclip", variables=variables,
+                              data_shards=8, **_tiny_clip_kw())
+    assert manifest["data_shards"] == 8
+    assert manifest["entry_points"]["image_embed"]["input_shape"][0] == "8*b"
+
+    r = np.random.default_rng(5)
+    img = jnp.asarray(
+        r.integers(0, 256, (16, meta["staging_size"], meta["staging_size"], 3),
+                   dtype=np.uint8))
+    ref = np.asarray(load_serving(out1)["image_embed"](img))
+    dp = np.asarray(load_serving(out8)["image_embed"](img))
+    np.testing.assert_allclose(dp, ref, atol=5e-5)
+
+    # batch not divisible by the mesh → the exported convention rejects it
+    bad = img[:10]
+    with pytest.raises(Exception):
+        load_serving(out8)["image_embed"](bad)
+
+
 def test_quantized_export_carries_int8(tmp_path):
     """int8_serve survives export: the serialized module contains int8
     dots and the reloaded outputs differ from the unquantized export of

@@ -38,6 +38,9 @@ def main():
     p.add_argument("--precision", default="amp")
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering targets (default: current backend)")
+    p.add_argument("--data-shards", type=int, default=1,
+                   help="export data-parallel over an N-device mesh "
+                        "(batch dim becomes N*b)")
     a = p.parse_args()
 
     from mamba_clip_tpu.serving import export_serving, make_serving_fns
@@ -58,7 +61,7 @@ def main():
             variables["batch_stats"] = batch_stats
 
     manifest = export_serving(
-        a.out, a.model, variables=variables,
+        a.out, a.model, variables=variables, data_shards=a.data_shards,
         platforms=tuple(a.platforms) if a.platforms else None, **kw)
     total = sum(os.path.getsize(os.path.join(a.out, f))
                 for f in os.listdir(a.out))
