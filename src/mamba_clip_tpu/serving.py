@@ -63,6 +63,7 @@ def make_serving_fns(
     image_size: int = 224,
     staging_size: Optional[int] = None,
     context_length: int = 256,
+    vocab_size: int = 30522,
     rng: Optional[jax.Array] = None,
 ):
     """Build (model, init params, {entry_point: fn(params, x)}) for serving.
@@ -101,8 +102,8 @@ def make_serving_fns(
     else:
         model = build_clip(
             model_name=model_name, image_size=image_size,
-            context_length=context_length, dtype=policy.compute_dtype,
-            quant=quant, scan_impl=scan_impl,
+            context_length=context_length, vocab_size=vocab_size,
+            dtype=policy.compute_dtype, quant=quant, scan_impl=scan_impl,
         )
         variables = model.init(
             {"params": rng, "dropout": rng},
@@ -146,6 +147,7 @@ def export_serving(
     variables: Optional[Any] = None,
     platforms: Optional[tuple] = None,
     data_shards: int = 1,
+    tokenizer: Optional[str] = None,
     **kw,
 ) -> Dict[str, Any]:
     """Export batch-polymorphic serving graphs + params to ``out_dir``.
@@ -154,6 +156,10 @@ def export_serving(
     wrapped as {"params": ...}); defaults to fresh init (tests, smoke).
     ``platforms``: lowering targets, e.g. ("tpu",) or ("cpu", "tpu");
     defaults to the current default backend.
+    ``tokenizer``: a local vocab path ships WITH the artifact (text
+    serving needs host-side tokenization; the vocab is copied into
+    ``out_dir`` and recorded in the manifest). Any other value records
+    the deterministic hash tokenizer.
     ``data_shards``: >1 exports a DATA-PARALLEL serving graph — params
     replicated, batch sharded over a ``data_shards``-device mesh (the
     batch dim becomes ``data_shards*b``, so any multiple works). The
@@ -212,8 +218,30 @@ def export_serving(
 
     with open(os.path.join(out_dir, _PARAMS), "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(variables)))
+
+    tok_meta: Dict[str, Any] = {"type": "hash",
+                                "context_length": meta["context_length"]}
+    if tokenizer and os.path.exists(tokenizer):
+        import shutil
+
+        tok_dir = os.path.join(out_dir, "tokenizer")
+        os.makedirs(tok_dir, exist_ok=True)
+        if os.path.isdir(tokenizer):  # HF tokenizer dir: ship it whole
+            for fname in os.listdir(tokenizer):
+                shutil.copyfile(os.path.join(tokenizer, fname),
+                                os.path.join(tok_dir, fname))
+        else:  # bare vocab.txt: synthesize the minimal BERT config
+            shutil.copyfile(tokenizer, os.path.join(tok_dir, "vocab.txt"))
+            with open(os.path.join(tok_dir, "tokenizer_config.json"),
+                      "w") as f:
+                json.dump({"tokenizer_class": "BertTokenizer",
+                           "do_lower_case": True}, f)
+        tok_meta = {"type": "wordpiece", "dir": "tokenizer",
+                    "context_length": meta["context_length"]}
+
     manifest = dict(meta, entry_points=entry_points,
                     data_shards=data_shards,
+                    tokenizer=tok_meta,
                     platforms=list(platforms) if platforms else
                     [jax.default_backend()])
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
@@ -263,4 +291,18 @@ def load_serving(out_dir: str) -> Dict[str, Any]:
         with open(os.path.join(out_dir, ep["file"]), "rb") as f:
             exp = jexport.deserialize(f.read())
         fns[name] = (lambda c: lambda x: c(variables, x))(wrap(exp))
+
+    # Convenience when this package is importable: a text -> token-ids
+    # callable matching the artifact's tokenizer (a package-free host
+    # reads manifest["tokenizer"] and brings its own WordPiece).
+    tok = manifest.get("tokenizer") or {}
+    if "text_embed" in fns:
+        from .data.tokenizer import get_tokenizer
+
+        name_or_path = (os.path.join(out_dir, tok["dir"])
+                        if tok.get("type") == "wordpiece" else "hash")
+        fns["tokenize"] = get_tokenizer(
+            name_or_path,
+            context_length=int(tok.get("context_length", 256)),
+            require_real=tok.get("type") == "wordpiece")
     return {"manifest": manifest, **fns}

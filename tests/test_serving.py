@@ -131,6 +131,37 @@ def test_export_tool_loads_checkpoint_params(tmp_path, monkeypatch):
         np.asarray(served["image_embed"](img)), direct, atol=5e-5)
 
 
+def test_tokenizer_ships_with_artifact(tmp_path):
+    """A local vocab ships inside the artifact dir; the loader exposes a
+    text->ids callable whose output feeds text_embed end-to-end. Without
+    a vocab the manifest records the hash tokenizer."""
+    vocab = tmp_path / "vocab.txt"
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "lesion",
+             "patient", "a", "is", "mm", "##s", "of", "on", "torso", "male"]
+    vocab.write_text("\n".join(words) + "\n")
+
+    out = str(tmp_path / "with_tok")
+    manifest = export_serving(out, "biomedclip", tokenizer=str(vocab),
+                              image_size=32, context_length=16,
+                              precision="fp32", vocab_size=len(words))
+    assert manifest["tokenizer"]["type"] == "wordpiece"
+    assert os.path.exists(os.path.join(out, "tokenizer", "vocab.txt"))
+
+    served = load_serving(out)
+    ids = served["tokenize"](["the lesion is on the torso", "patient"])
+    assert ids.shape == (2, 16)
+    assert ids.max() < len(words)
+    feats = np.asarray(served["text_embed"](jnp.asarray(ids)))
+    assert feats.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0,
+                               rtol=1e-3)
+
+    out2 = str(tmp_path / "no_tok")
+    m2 = export_serving(out2, "biomedclip", **_tiny_clip_kw())
+    assert m2["tokenizer"]["type"] == "hash"
+    assert load_serving(out2)["tokenize"]("a report").shape == (1, 16)
+
+
 def test_data_parallel_export(tmp_path):
     """data_shards=8: the exported graph shards the batch over an 8-device
     data mesh (params replicated) and matches the single-device export."""

@@ -41,6 +41,9 @@ def main():
     p.add_argument("--data-shards", type=int, default=1,
                    help="export data-parallel over an N-device mesh "
                         "(batch dim becomes N*b)")
+    p.add_argument("--tokenizer", default=None,
+                   help="local tokenizer dir/vocab.txt to ship with the "
+                        "artifact (text serving needs it host-side)")
     a = p.parse_args()
 
     from mamba_clip_tpu.serving import export_serving, make_serving_fns
@@ -62,6 +65,7 @@ def main():
 
     manifest = export_serving(
         a.out, a.model, variables=variables, data_shards=a.data_shards,
+        tokenizer=a.tokenizer,
         platforms=tuple(a.platforms) if a.platforms else None, **kw)
     total = sum(os.path.getsize(os.path.join(a.out, f))
                 for f in os.listdir(a.out))
