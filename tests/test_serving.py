@@ -131,6 +131,21 @@ def test_export_tool_loads_checkpoint_params(tmp_path, monkeypatch):
         np.asarray(served["image_embed"](img)), direct, atol=5e-5)
 
 
+def test_cross_platform_export(tmp_path):
+    """platforms=("cpu","tpu") lowers one artifact for both targets from a
+    CPU-only process (deploy-for-TPU without holding the chip); it still
+    executes on the CPU side of the multi-platform module."""
+    out = str(tmp_path / "xplat")
+    manifest = export_serving(out, "biomedclip", platforms=("cpu", "tpu"),
+                              **_tiny_clip_kw())
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    served = load_serving(out)
+    st = manifest["staging_size"]
+    img = jnp.asarray(np.random.default_rng(6).integers(
+        0, 256, (2, st, st, 3), dtype=np.uint8))
+    assert np.asarray(served["image_embed"](img)).shape == (2, 512)
+
+
 def test_tokenizer_ships_with_artifact(tmp_path):
     """A local vocab ships inside the artifact dir; the loader exposes a
     text->ids callable whose output feeds text_embed end-to-end. Without
