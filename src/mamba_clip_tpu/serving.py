@@ -133,6 +133,7 @@ def make_serving_fns(
         "image_size": image_size,
         "staging_size": staging_size or tcfg.staging_size,
         "context_length": context_length,
+        "vocab_size": vocab_size,
         "num_classes": num_classes,
         "mean": list(tcfg.mean),
         "std": list(tcfg.std),
