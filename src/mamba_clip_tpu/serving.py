@@ -227,10 +227,11 @@ def export_serving(
 
         tok_dir = os.path.join(out_dir, "tokenizer")
         os.makedirs(tok_dir, exist_ok=True)
-        if os.path.isdir(tokenizer):  # HF tokenizer dir: ship it whole
+        if os.path.isdir(tokenizer):  # HF tokenizer dir: ship its files
             for fname in os.listdir(tokenizer):
-                shutil.copyfile(os.path.join(tokenizer, fname),
-                                os.path.join(tok_dir, fname))
+                src = os.path.join(tokenizer, fname)
+                if os.path.isfile(src):  # HF saves can nest dirs; skip them
+                    shutil.copyfile(src, os.path.join(tok_dir, fname))
         else:  # bare vocab.txt: synthesize the minimal BERT config
             shutil.copyfile(tokenizer, os.path.join(tok_dir, "vocab.txt"))
             with open(os.path.join(tok_dir, "tokenizer_config.json"),
