@@ -44,13 +44,17 @@ def main():
     p.add_argument("--tokenizer", default=None,
                    help="local tokenizer dir/vocab.txt to ship with the "
                         "artifact (text serving needs it host-side)")
+    p.add_argument("--scan-impl", default=None,
+                   help="selective-scan impl for VSSM exports: default "
+                        "(per-backend), or 'xla' for a portable artifact "
+                        "(Pallas/Mosaic lowering needs a TPU host)")
     a = p.parse_args()
 
     from mamba_clip_tpu.serving import export_serving, make_serving_fns
 
     kw = dict(quant=a.quant, num_classes=a.num_classes,
               image_size=a.image_size, context_length=a.context_length,
-              precision=a.precision)
+              precision=a.precision, scan_impl=a.scan_impl)
 
     variables = None
     if a.checkpoint:
