@@ -12,6 +12,13 @@ basis for offering int8 as a production recipe.
 
 Runs on CPU in ~2 minutes. Usage:
     python tools/quant_parity.py [--steps 40] [--json]
+
+``--full-tpu`` instead runs the FLAGSHIP-scale comparison on the real
+chip: the exact bench.py stage-1 step (ViT-B/16 + PubMedBERT, bs 64,
+amp) under bf16 vs --quant int8_fast, fresh synthetic batches per step.
+This pins the absmax/rounding dynamics at d=768 that the tiny CPU model
+cannot exercise; baseline is the bf16-amp recipe (the production
+default), not fp32.
 """
 
 from __future__ import annotations
@@ -68,14 +75,88 @@ def run(quant, steps, seed=0):
     return losses
 
 
-def main():
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+def run_full_tpu(quant, steps, seed=0, data_seed=0, tag=None):
+    """Flagship bench.py step (bs 64, amp) with fresh on-device batches.
 
+    Batches are generated per step from a jitted jax.random stream (same
+    seed across the compared runs) rather than transferred from host —
+    the tunnel to the remote chip makes 12 MB/step host transfers the
+    bottleneck, and the parity question is about the step math, not IO.
+
+    ``data_seed`` perturbs only the batch stream; a bf16 run with
+    data_seed=1 serves as the *benign-perturbation yardstick*: if
+    int8_fast's per-step deviation from the bf16 run is no larger than
+    the deviation a different data draw produces, the quantization is
+    indistinguishable from ordinary trajectory noise at this scale.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".."))
+    from bench import build_train_step
+    from mamba_clip_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
+    step_fn, state, _, rng = build_train_step(
+        batch_size=64, model_name="biomedclip", precision="amp", quant=quant)
+
+    @jax.jit
+    def make_batch(key):
+        ki, kt = jax.random.split(key)
+        return {
+            "image": jax.random.randint(
+                ki, (64, 256, 256, 3), 0, 256, jnp.uint8),
+            "tokens": jax.random.randint(
+                kt, (64, 256), 4, 30522, jnp.int32),
+        }
+
+    data_key = jax.random.PRNGKey(seed + 1000 + data_seed)
+    losses = []
+    name = tag or (quant or "bf16_amp")
+    for i in range(steps):
+        batch = make_batch(jax.random.fold_in(data_key, i))
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+        losses.append(metrics["loss"])  # device scalar; fetch once at end
+        print(f"  [{name}] step {i}", file=sys.stderr)
+    return [float(x) for x in jax.device_get(jnp.stack(losses))]
+
+
+def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--full-tpu", action="store_true",
+                   help="flagship-scale bf16-amp vs int8_fast on the chip")
     a = p.parse_args()
+
+    if a.full_tpu:
+        curves = {
+            "bf16_amp": run_full_tpu(None, a.steps),
+            "int8_fast": run_full_tpu("int8_fast", a.steps),
+            # benign-perturbation yardstick: same recipe, different data
+            # draw — calibrates how much trajectory divergence a harmless
+            # change produces at this scale
+            "bf16_amp_dataseed1": run_full_tpu(
+                None, a.steps, data_seed=1, tag="bf16_amp_dataseed1"),
+        }
+        base = np.asarray(curves["bf16_amp"])
+        out = {"steps": a.steps,
+               "bf16_amp": {"first": round(float(base[0]), 4),
+                            "final": round(float(base[-1]), 4)}}
+        for name in ("int8_fast", "bf16_amp_dataseed1"):
+            c = np.asarray(curves[name])
+            out[name] = {
+                "first": round(float(c[0]), 4),
+                "final": round(float(c[-1]), 4),
+                "max_dev_vs_bf16": round(float(np.abs(c - base).max()), 4),
+                "final_dev_vs_bf16": round(float(abs(c[-1] - base[-1])), 4),
+            }
+        print(json.dumps(out))
+        return
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
     curves = {}
     for quant in (None, "int8", "int8_fast"):
