@@ -33,7 +33,20 @@ from .utils.logging import get_logger
 
 logger = get_logger(__name__)
 
-_EPOCH_RE = re.compile(r"epoch_(\d+)$")
+_EPOCH_RE = re.compile(r"epoch_(\d+)(?:_step_(\d+))?$")
+
+# mid-epoch step checkpoints (--checkpoint-steps) are named
+# `<prefix>epoch_<e>_step_<m>` with e the CURRENT 0-based epoch and m the
+# batches completed in it; natural sort orders them exactly right:
+# epoch_e < epoch_e_step_m < epoch_{e+1}
+_STEP_SUFFIX_RE = re.compile(r"epoch_(\d+)_step_(\d+)$")
+
+
+def parse_step_checkpoint(path: str):
+    """(epoch, batches_done) if `path` is a mid-epoch step checkpoint,
+    else None."""
+    m = _STEP_SUFFIX_RE.search(os.path.basename(path.rstrip("/")))
+    return (int(m.group(1)), int(m.group(2))) if m else None
 
 
 def natural_key(s: str):
@@ -205,6 +218,56 @@ def load_params_only(path: str, params):
     except Exception:
         restored = ckptr.restore(path)
         return restored["params"], restored.get("batch_stats", {})
+
+
+class StepCheckpointer:
+    """Rotating mid-epoch checkpoint writer (--checkpoint-steps; no
+    reference analog — the reference is epoch-granular only, SURVEY §5 /
+    pipeline.py:488-523).
+
+    Writes ``<prefix>epoch_<e>_step_<m>`` (e = current 0-based epoch,
+    m = batches completed in it) and keeps the TWO most recent: deletion
+    lags one save behind, so even if preemption strikes while the newest
+    (async) save is still committing, a fully-committed step checkpoint
+    survives on disk. ``finalize()`` removes the leftovers once the
+    stage's final numbered epoch checkpoint exists and has committed.
+    """
+
+    def __init__(self, ckpt_dir: str, args=None, prefix: str = ""):
+        self.ckpt_dir = ckpt_dir
+        self.args = args
+        self.prefix = prefix
+        self._ring: list = []
+
+    def __call__(self, state, epoch: int, batches_done: int) -> str:
+        path = save_checkpoint(
+            self.ckpt_dir, state, epoch, self.args,
+            name=f"{self.prefix}epoch_{epoch}_step_{batches_done}",
+        )
+        self._ring.append(path)
+        if len(self._ring) > 2:
+            doomed = self._ring.pop(0)
+            if os.path.isdir(doomed):
+                shutil.rmtree(doomed)
+        return path
+
+    def finalize(self) -> None:
+        """Delete remaining step checkpoints for this stage prefix —
+        including ones left by a previous preempted process that this run
+        resumed from. Call only after the final epoch checkpoint has
+        durably committed (wait_for_checkpoints): every mid-epoch
+        checkpoint is then strictly older training state."""
+        wait_for_checkpoints()
+        try:
+            names = os.listdir(self.ckpt_dir)
+        except FileNotFoundError:
+            names = []
+        for n in names:
+            if n.startswith(self.prefix) and _STEP_SUFFIX_RE.search(n):
+                p = os.path.join(self.ckpt_dir, n)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+        self._ring.clear()
 
 
 def delete_previous_checkpoint(ckpt_dir: str, epoch: int, prefix: str = "") -> None:

@@ -76,6 +76,15 @@ class Args:
     # -- checkpointing ---------------------------------------------------------
     save_frequency: int = 1
     save_most_recent: bool = False
+    # NEW: mid-epoch step checkpointing for preemption-safe training.
+    # The reference checkpoints at epoch granularity only (SURVEY §5;
+    # reference: pipeline.py:488-523); on preemptible TPU pods an epoch
+    # can be hours. N>0 saves `<stage>_epoch_<e>_step_<m>` every N
+    # optimizer steps (async, master-only) and `--resume latest` resumes
+    # EXACTLY mid-epoch: the loader fast-forwards to batch m of epoch e
+    # (index order is deterministic in (seed, epoch)) and the step RNG
+    # folds in the restored global step.
+    checkpoint_steps: int = 0
     val_frequency: int = 1
     resume: Optional[str] = None
     delete_previous_checkpoint: bool = False

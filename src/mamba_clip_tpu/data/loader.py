@@ -68,6 +68,11 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.epoch = 0
+        # mid-epoch resume (--checkpoint-steps): skip the first
+        # `start_batch` batches of the epoch WITHOUT loading them — the
+        # epoch's index order is deterministic in (seed, epoch), so the
+        # tail stream is identical to an uninterrupted epoch's tail
+        self.start_batch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -165,7 +170,7 @@ class BatchLoader:
                 with ThreadPoolExecutor(self.workers) as pool_:
                     nonlocal pool
                     pool = pool_
-                    for b in range(nb):
+                    for b in range(self.start_batch, nb):
                         if stop.is_set():
                             return
                         # the final slice is naturally shorter when

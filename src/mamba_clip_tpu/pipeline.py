@@ -307,13 +307,27 @@ def prepare_params(
         state = jax.device_put(state, replicated(mesh))
 
     start_epoch = 0
+    start_batch = 0
     if run.resume_from:
         # eval-only runs may restore params without the optimizer tree
         # (their optimizer has no schedule); training resumes stay strict
         state, start_epoch = load_checkpoint(
             run.resume_from, state, allow_partial=bool(args.is_test)
         )
-        logger.info(f"Resumed checkpoint (start epoch {start_epoch})")
+        # mid-epoch step checkpoint (--checkpoint-steps): the name carries
+        # the batch offset within start_epoch; the payload schema is the
+        # same as an epoch checkpoint (old checkpoints stay loadable)
+        from .checkpoint import parse_step_checkpoint
+
+        parsed = parse_step_checkpoint(run.resume_from)
+        if parsed is not None:
+            start_batch = parsed[1]
+            logger.info(
+                f"Resumed mid-epoch checkpoint (epoch {start_epoch}, "
+                f"batch {start_batch})"
+            )
+        else:
+            logger.info(f"Resumed checkpoint (start epoch {start_epoch})")
 
     if stage == 1 and takes_text:
         step_fn = make_clip_train_step(
@@ -331,7 +345,8 @@ def prepare_params(
     writer = _tb_writer(args, run)
     return dict(
         state=state, step_fn=step_fn, schedule=schedule, policy=policy,
-        start_epoch=start_epoch, writer=writer, mask=mask,
+        start_epoch=start_epoch, start_batch=start_batch, writer=writer,
+        mask=mask,
     )
 
 
@@ -386,15 +401,26 @@ def step(
         takes_text=takes_text,
     )
 
+    step_ckptr = None
+    if args.checkpoint_steps > 0 and is_master(run):
+        from .checkpoint import StepCheckpointer
+
+        step_ckptr = StepCheckpointer(
+            run.checkpoint_path, args, prefix=save_prefix
+        )
+
     metrics = None
     best = None
     for epoch in range(params["start_epoch"], args.epochs):
         if is_master(run):
             logger.info(f"Start epoch {epoch}")
+        first = epoch == params["start_epoch"]
         state = train_one_epoch(
             step_fn, state, data, epoch, args, rng,
             run_state=run, tb_writer=writer, device_put_fn=put,
-            trace_dir=trace_dir if epoch == params["start_epoch"] else None,
+            trace_dir=trace_dir if first else None,
+            start_batch=params.get("start_batch", 0) if first else 0,
+            step_ckpt_cb=step_ckptr,
         )
         completed = epoch + 1
 
@@ -461,6 +487,10 @@ def step(
         from .checkpoint import wait_for_checkpoints
 
         wait_for_checkpoints()
+        if step_ckptr is not None:
+            # the stage's final numbered epoch checkpoint has committed;
+            # the surviving mid-epoch checkpoints are now redundant
+            step_ckptr.finalize()
     if run.wandb and is_master(run):
         from .utils import wandb_utils
 

@@ -503,16 +503,27 @@ def train_one_epoch(
     tb_writer=None,
     device_put_fn=None,
     trace_dir: Optional[str] = None,
+    start_batch: int = 0,
+    step_ckpt_cb=None,
 ) -> TrainState:
     """Host epoch loop: feeds device, meters throughput
     (reference: train.py:92-385). When ``trace_dir`` is set (the --trace
     flag; the reference's TorchScript trace has no TPU analog, so it maps
-    to a jax.profiler capture) steps 3-8 of the epoch are profiled."""
+    to a jax.profiler capture) steps 3-8 of the epoch are profiled.
+
+    ``start_batch`` resumes mid-epoch (--checkpoint-steps): the loader
+    fast-forwards to that batch of this epoch's deterministic index
+    order, and the restored ``state.step`` keeps the in-step RNG stream
+    (fold_in(rng, state.step)) exactly where it left off.
+    ``step_ckpt_cb(state, epoch, batches_done)`` is invoked every
+    ``args.checkpoint_steps`` optimizer steps (never on the epoch's last
+    batch — the epoch-boundary checkpoint path owns that)."""
     from .data.loader import device_prefetch
 
     train_data = data["train"]
     train_data.set_epoch(epoch)
     loader = train_data.loader
+    loader.start_batch = start_batch
     num_batches = loader.num_batches
     sample_digits = math.ceil(math.log10(max(loader.num_samples, 1) + 1))
     world = getattr(run_state, "world_size", 1) if run_state else 1
@@ -528,7 +539,7 @@ def train_one_epoch(
         it = device_put_fn(it)
 
     tracing = False
-    for i, batch in enumerate(it):
+    for i, batch in enumerate(it, start=start_batch):
         if trace_dir and i == 3 and not tracing:
             try:
                 jax.profiler.start_trace(trace_dir)
@@ -543,6 +554,12 @@ def train_one_epoch(
             jax.profiler.stop_trace()
             tracing = False
             logger.info(f"profiler trace written to {trace_dir}")
+
+        if (step_ckpt_cb is not None
+                and getattr(args, "checkpoint_steps", 0) > 0
+                and (i + 1) % args.checkpoint_steps == 0
+                and i + 1 < num_batches):
+            step_ckpt_cb(state, epoch, i + 1)
 
         window_steps += 1
         log_now = (
