@@ -228,3 +228,77 @@ def test_quantized_export_carries_int8(tmp_path):
     f_ = np.asarray(load_serving(out_f)["image_embed"](img))
     assert not np.array_equal(q, f_)
     assert np.max(np.abs(q - f_)) < 0.2
+
+
+def test_weight_compression_roundtrip_lemma():
+    """Per-column int8 compression: dequantize→requantize recovers the
+    IDENTICAL int8 values and scales (the per-column max quantizes to
+    ±127, so the recomputed absmax scale equals the stored one). This is
+    what makes a compressed int8_serve artifact serve the same dots."""
+    from mamba_clip_tpu.serving import (
+        _COMPRESS_KEY, compress_params, decompress_params)
+
+    r = np.random.default_rng(0)
+    w = (r.normal(size=(256, 96)).astype(np.float32)
+         * r.uniform(0.01, 3.0, size=(96,)).astype(np.float32))
+    tree = {"layer": {"kernel": w, "bias": np.zeros(96, np.float32)}}
+    comp = compress_params(tree, min_elems=0)
+    d = comp["layer"]["kernel"]
+    assert d[_COMPRESS_KEY].dtype == np.int8
+    assert np.array_equal(comp["layer"]["bias"], tree["layer"]["bias"])
+
+    deq = decompress_params(comp)["layer"]["kernel"]
+    assert deq.dtype == w.dtype
+    # quantization error bounded by half a step per element
+    assert np.max(np.abs(deq - w) / d["scale"][None, :]) <= 0.5 + 1e-3
+
+    recomp = compress_params(
+        {"layer": {"kernel": deq}}, min_elems=0)["layer"]["kernel"]
+    np.testing.assert_array_equal(recomp[_COMPRESS_KEY], d[_COMPRESS_KEY])
+    np.testing.assert_allclose(recomp["scale"], d["scale"], rtol=1e-6)
+
+    # embedding tables compress with PER-ROW scales (each token row keeps
+    # its own dynamic range)
+    emb = (r.normal(size=(64, 32)).astype(np.float32)
+           * r.uniform(0.01, 3.0, size=(64, 1)).astype(np.float32))
+    cemb = compress_params({"tok": {"embedding": emb}},
+                           min_elems=0)["tok"]["embedding"]
+    assert cemb["scale"].shape == (64, 1)
+    demb = decompress_params({"tok": {"embedding": cemb}})["tok"]["embedding"]
+    assert np.max(np.abs(demb - emb) / cemb["scale"]) <= 0.5 + 1e-3
+
+    # below the size threshold nothing is touched (default threshold)
+    comp_default = compress_params(tree)
+    assert isinstance(comp_default["layer"]["kernel"], np.ndarray)
+
+
+def test_compressed_export_smaller_and_close(tmp_path):
+    """--compress-weights: params.msgpack shrinks >2x and the reloaded
+    int8_serve artifact serves near-identical embeddings (exact through
+    every injected int8 dot; one extra int8 rounding on the fp32
+    projection heads)."""
+    out_raw = str(tmp_path / "raw")
+    out_c = str(tmp_path / "comp")
+    kw = dict(_tiny_clip_kw(), quant="int8_serve")
+    _, variables, _, meta = make_serving_fns("biomedclip", **kw)
+    export_serving(out_raw, "biomedclip", variables=variables, **kw)
+    manifest = export_serving(out_c, "biomedclip", variables=variables,
+                              compress_weights=True, **kw)
+    assert manifest["weights"] == "int8_cols"
+
+    size_raw = os.path.getsize(os.path.join(out_raw, "params.msgpack"))
+    size_c = os.path.getsize(os.path.join(out_c, "params.msgpack"))
+    assert size_c < 0.35 * size_raw, (size_raw, size_c)
+
+    s_raw = load_serving(out_raw)
+    s_c = load_serving(out_c)
+    r = np.random.default_rng(7)
+    img = jnp.asarray(
+        r.integers(0, 256, (3, meta["staging_size"], meta["staging_size"], 3),
+                   dtype=np.uint8))
+    tok = jnp.asarray(r.integers(4, 64, (3, 16), dtype=np.int32))
+    for name, x in (("image_embed", img), ("text_embed", tok)):
+        a = np.asarray(s_raw[name](x))
+        b = np.asarray(s_c[name](x))
+        cos = np.sum(a * b, axis=-1)  # embeddings are L2-normalized
+        assert np.all(cos > 0.999), (name, cos)

@@ -44,6 +44,10 @@ def main():
     p.add_argument("--tokenizer", default=None,
                    help="local tokenizer dir/vocab.txt to ship with the "
                         "artifact (text serving needs it host-side)")
+    p.add_argument("--compress-weights", action="store_true",
+                   help="store large Dense kernels per-column int8 in "
+                        "params.msgpack (~4x smaller; exact under "
+                        "int8_serve, see serving.py compression notes)")
     p.add_argument("--scan-impl", default=None,
                    help="selective-scan impl for VSSM exports: default "
                         "(per-backend), or 'xla' for a portable artifact "
@@ -69,7 +73,7 @@ def main():
 
     manifest = export_serving(
         a.out, a.model, variables=variables, data_shards=a.data_shards,
-        tokenizer=a.tokenizer,
+        tokenizer=a.tokenizer, compress_weights=a.compress_weights,
         platforms=tuple(a.platforms) if a.platforms else None, **kw)
     total = sum(os.path.getsize(os.path.join(a.out, f))
                 for f in os.listdir(a.out))
