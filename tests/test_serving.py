@@ -302,3 +302,33 @@ def test_compressed_export_smaller_and_close(tmp_path):
         b = np.asarray(s_c[name](x))
         cos = np.sum(a * b, axis=-1)  # embeddings are L2-normalized
         assert np.all(cos > 0.999), (name, cos)
+
+
+def test_bench_infer_artifact_mode(tmp_path, monkeypatch, capsys):
+    """tools/bench_infer.py --artifact: benchmarks every entry point of an
+    exported dir through serving.load_serving — the closed loop
+    export → reload → measure."""
+    import importlib.util
+
+    out = str(tmp_path / "art")
+    export_serving(out, "biomedclip", compress_weights=True,
+                   **_tiny_clip_kw())
+
+    monkeypatch.setenv("BENCH_INFER_BATCH", "2")
+    monkeypatch.setenv("BENCH_INFER_STEPS", "2")
+    monkeypatch.setenv("BENCH_INFER_WARMUP", "1")
+    spec = importlib.util.spec_from_file_location(
+        "bench_infer_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "bench_infer.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    monkeypatch.setattr("sys.argv", ["bench_infer.py", "--artifact", out])
+    tool.main()
+
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    metrics = {ln["metric"] for ln in lines}
+    assert metrics == {"infer_artifact_image_embed_images_per_sec_per_chip",
+                       "infer_artifact_text_embed_images_per_sec_per_chip"}
+    assert all(ln["value"] > 0 for ln in lines)

@@ -24,9 +24,16 @@ Env knobs: BENCH_INFER_BATCH (64), BENCH_INFER_STEPS (30), BENCH_QUANT
 VSSM GEMMs, ops/quant.py + ops/qdot.py; int8_serve is the serving mode:
 per-output-channel weight scales, forward-only optimized).
 
+``--artifact DIR`` instead benchmarks an EXPORTED serving artifact
+(tools/export_serving.py): every entry point in its manifest is loaded
+via serving.load_serving and timed with the same discipline — the
+closed loop export → reload → measure, on whatever backend runs this
+process.
+
 Output: one JSON line per scenario.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -102,8 +109,43 @@ def _scenarios():
     yield ("medmamba_classify", lambda: classify(clvars, raw))
 
 
+def _artifact_scenarios(art_dir):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamba_clip_tpu.serving import load_serving
+
+    served = load_serving(art_dir)
+    m = served["manifest"]
+    np_rng = np.random.default_rng(0)
+    staging = int(m["staging_size"])
+    raw = jnp.asarray(
+        np_rng.integers(0, 256, (BATCH, staging, staging, 3), dtype=np.uint8))
+    tokens = jnp.asarray(
+        np_rng.integers(4, int(m["vocab_size"]),
+                        (BATCH, int(m["context_length"])), dtype=np.int32))
+    for name in sorted(m["entry_points"]):
+        fn = served[name]
+        x = tokens if name == "text_embed" else raw
+
+        def call(fn=fn, x=x):
+            # the artifact call returns the full output on device; the
+            # tiny follow-up reduction is what gets fetched (barrier)
+            return fn(x).astype(jnp.float32).sum()
+
+        yield (f"artifact_{name}", call)
+
+
 def main():
-    for name, call in _scenarios():
+    p = argparse.ArgumentParser()
+    p.add_argument("--artifact", default=None,
+                   help="benchmark an exported serving dir's entry points "
+                        "instead of the in-process scenarios")
+    a = p.parse_args()
+
+    scenarios = (_artifact_scenarios(a.artifact) if a.artifact
+                 else _scenarios())
+    for name, call in scenarios:
         for _ in range(WARMUP):
             out = call()
         float(out)  # barrier
