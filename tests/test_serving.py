@@ -332,3 +332,65 @@ def test_bench_infer_artifact_mode(tmp_path, monkeypatch, capsys):
     assert metrics == {"infer_artifact_image_embed_images_per_sec_per_chip",
                        "infer_artifact_text_embed_images_per_sec_per_chip"}
     assert all(ln["value"] > 0 for ln in lines)
+
+
+def test_http_serving_host(tmp_path):
+    """tools/serve_http.py: JPEG bytes over HTTP → embedding from the
+    exported artifact, via the same native-decode staging path as
+    training; /embed_text goes through the artifact's tokenizer."""
+    import importlib.util
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    out = str(tmp_path / "art")
+    export_serving(out, "biomedclip", **_tiny_clip_kw())
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_http_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "serve_http.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    srv = tool.make_server(out, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert "image_embed" in health["manifest"]["entry_points"]
+
+        rimg = np.random.default_rng(0).integers(
+            0, 256, (40, 56, 3), dtype=np.uint8)
+        buf = __import__("io").BytesIO()
+        Image.fromarray(rimg).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"{base}/embed_image", data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            emb = np.asarray(json.loads(r.read())["embedding"])
+        assert emb.shape == (512,)
+        np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-3)
+
+        req = urllib.request.Request(
+            f"{base}/embed_text",
+            data=json.dumps({"texts": ["a lesion", "torso"]}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            embs = np.asarray(json.loads(r.read())["embeddings"])
+        assert embs.shape == (2, 512)
+
+        # unknown route → structured 404
+        req = urllib.request.Request(
+            f"{base}/classify", data=buf.getvalue(), method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert "entry points" in json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()
