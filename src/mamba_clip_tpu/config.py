@@ -97,8 +97,10 @@ class Args:
     # NEW: int8 quantized training (ops/quant.py) — the TPU analog of
     # --use-bnb-linear. int8 = AQT fwd+bwd dots; int8_fwd = AQT forward
     # only; int8_fast = native shared-calibration dot (ops/qdot.py, one
-    # calibration per tensor per step instead of AQT's per-use six).
-    quant: Optional[str] = None  # int8|int8_fwd|int8_fast|int8_serve|none
+    # calibration per tensor per step instead of AQT's per-use six);
+    # int8_fast_attn = int8_fast + the attention-interior dots (QK^T,
+    # P.V and their backward dots) on the int8 MXU.
+    quant: Optional[str] = None  # int8|int8_fwd|int8_fast|int8_fast_attn|int8_serve|none
     # NEW: MLP GELU form. auto = tanh when compute dtype is bf16 (erf costs
     # more than the fc1 matmul on the TPU VPU; tanh error is 33x below bf16
     # rounding — PERF.md round-3), exact otherwise (torch parity).

@@ -275,9 +275,11 @@ def build_clip(
     33x below bf16's own rounding of the exact value, so "auto" trades
     nothing measurable under bf16 and preserves exact-erf parity for
     fp32/fp16 numerics-comparison runs."""
+    from ..ops.quant import attn_int8 as _attn_int8
     from ..ops.quant import make_dot_general_cls
 
     dg_cls = make_dot_general_cls(quant)
+    ai8 = _attn_int8(quant)
     gelu_approx = resolve_gelu_approx(gelu, dtype)
     name = (model_name or "biomedclip").lower()
     if "medmamba" in name or "vssm" in name:
@@ -292,12 +294,14 @@ def build_clip(
             quick_gelu=quick_gelu, patch_dropout=patch_dropout,
             gelu_approx=gelu_approx,
             grad_checkpointing=grad_checkpointing, dtype=dtype,
-            dot_general_cls=dg_cls, attn_remat=attn_remat, name="visual",
+            dot_general_cls=dg_cls, attn_remat=attn_remat, attn_int8=ai8,
+            name="visual",
         )
     text = TextBert(
         vocab_size=vocab_size, context_length=context_length,
         embed_dim=embed_dim, grad_checkpointing=grad_checkpointing,
         dtype=dtype, gelu_approx=gelu_approx,
-        dot_general_cls=dg_cls, attn_remat=attn_remat, name="text",
+        dot_general_cls=dg_cls, attn_remat=attn_remat, attn_int8=ai8,
+        name="text",
     )
     return ClipModel(visual=visual, text=text, siglip=siglip)

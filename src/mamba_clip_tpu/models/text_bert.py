@@ -37,6 +37,7 @@ class BertBlock(nn.Module):
     gelu_approx: bool = False
     dot_general_cls: Any = None  # AQT int8 injection (ops/quant.py)
     attn_remat: bool = False
+    attn_int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -48,7 +49,8 @@ class BertBlock(nn.Module):
         y = FusedAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dot_general_cls=self.dot_general_cls,
-            remat_probs=self.attn_remat, name="attn",
+            remat_probs=self.attn_remat, int8_interior=self.attn_int8,
+            name="attn",
         )(x, pad_mask=mask)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_attn")(
             x + y
@@ -83,6 +85,7 @@ class TextBert(nn.Module):
     gelu_approx: bool = False
     dot_general_cls: Any = None
     attn_remat: bool = False
+    attn_int8: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -118,7 +121,8 @@ class TextBert(nn.Module):
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype, gelu_approx=self.gelu_approx,
                 dot_general_cls=self.dot_general_cls,
-                attn_remat=self.attn_remat, name=f"block{i}",
+                attn_remat=self.attn_remat, attn_int8=self.attn_int8,
+                name=f"block{i}",
             )(x, pad_mask, deterministic)
 
         cls = x[:, 0].astype(jnp.float32)

@@ -43,6 +43,10 @@ class FusedAttention(nn.Module):
     # (~100 MB/layer at bs 64, the residual that drives XLA's auto-remat of
     # whole attention chains — PERF.md round-3 attention-remat experiment).
     remat_probs: bool = False
+    # Run QK^T and P·V (and their backward dots) on the int8 MXU
+    # (--quant int8_fast_attn, ops/qdot.py int8_qk_dot/int8_pv_dot) — the
+    # last bf16 MXU stream once the Dense GEMMs are int8.
+    int8_interior: bool = False
 
     def _dense(self, features, name, **kw):
         if self.dot_general_cls is not None:
@@ -61,12 +65,19 @@ class FusedAttention(nn.Module):
             q = q.reshape(B, T, h, hd)
             k = k.reshape(B, T, h, hd)
             v = v.reshape(B, T, h, hd)
-            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+            if self.int8_interior:
+                from ..ops.qdot import int8_pv_dot, int8_qk_dot
+
+                s = int8_qk_dot(q, k) * (hd ** -0.5)
+            else:
+                s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
             s = s.astype(jnp.float32)
             if pad_mask is not None:
                 # pad_mask: (B, 1, 1, T) True = attend
                 s = jnp.where(pad_mask, s, jnp.float32(-1e9))
             p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            if self.int8_interior:
+                return int8_pv_dot(p, v).reshape(B, T, d)
             return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, d)
 
         if self.remat_probs:
@@ -117,6 +128,7 @@ class EncoderBlock(nn.Module):
     drop_rate: float = 0.0
     dot_general_cls: Any = None
     attn_remat: bool = False
+    attn_int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -127,6 +139,7 @@ class EncoderBlock(nn.Module):
         y = FusedAttention(num_heads=self.num_heads, dtype=self.dtype,
                            dot_general_cls=self.dot_general_cls,
                            remat_probs=self.attn_remat,
+                           int8_interior=self.attn_int8,
                            name="attn")(y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(
@@ -160,6 +173,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     dot_general_cls: Any = None  # AQT int8 injection into the hot GEMMs
     attn_remat: bool = False  # recompute attention probs in backward
+    attn_int8: bool = False  # int8 attention interior (--quant int8_fast_attn)
 
     @property
     def output_dim(self) -> int:
@@ -220,7 +234,8 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype, quick_gelu=self.quick_gelu,
                 gelu_approx=self.gelu_approx,
                 dot_general_cls=self.dot_general_cls,
-                attn_remat=self.attn_remat, name=f"block{i}",
+                attn_remat=self.attn_remat, attn_int8=self.attn_int8,
+                name=f"block{i}",
             )(x, deterministic)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x[:, 0])

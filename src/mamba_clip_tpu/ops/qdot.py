@@ -95,6 +95,94 @@ int8_dense_dot.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# Attention-interior int8 dots (``--quant int8_fast_attn``)
+# ---------------------------------------------------------------------------
+#
+# int8_fast covers the Dense GEMMs; the attention interior (QK^T and
+# P·V, plus their four backward dots) is the one remaining MXU stream
+# still running bf16 — ~32 ms of the flagship step, measured at its bf16
+# floor by three independent levers (kernels/remat/softmax-dtype,
+# PERF.md round-3). int8 is the only lever class that can pass a bf16
+# floor on v5e (int8 MXU ≈2× bf16 peak). Same shared-calibration scheme
+# as int8_dense_dot: each tensor quantized once, int8 residuals reused
+# by both backward dots, straight-through gradients, int32 accumulation
+# (max contraction T=257 « int32 range). Probabilities quantize with
+# absmax ≈1 → absolute error ≤ 1/254 per weight, the experiment the
+# quant-parity harness judges at trajectory level.
+
+
+def _q8(x):
+    s = _absmax_scale(x)
+    return _quantize(x, s), s
+
+
+def _ei32(pattern, a8, b8):
+    return jnp.einsum(pattern, a8, b8, preferred_element_type=jnp.int32)
+
+
+@jax.custom_vjp
+def int8_qk_dot(q: jax.Array, k: jax.Array) -> jax.Array:
+    """scores[b,h,q,k] = Σ_d q[b,q,h,d] k[b,k,h,d] on the int8 MXU."""
+    out, _ = _qk_fwd(q, k)
+    return out
+
+
+def _qk_fwd(q, k):
+    q8, sq = _q8(q)
+    k8, sk = _q8(k)
+    acc = _ei32("bqhd,bkhd->bhqk", q8, k8)
+    out_dtype = jnp.promote_types(q.dtype, k.dtype)
+    out = (acc.astype(jnp.float32) * (sq * sk)).astype(out_dtype)
+    res = (q8, sq, k8, sk,
+           jnp.zeros((0,), q.dtype), jnp.zeros((0,), k.dtype))
+    return out, res
+
+
+def _qk_bwd(res, g):
+    q8, sq, k8, sk, q_proto, k_proto = res
+    g8, sg = _q8(g)
+    dq = (_ei32("bhqk,bkhd->bqhd", g8, k8).astype(jnp.float32)
+          * (sg * sk)).astype(q_proto.dtype)
+    dk = (_ei32("bhqk,bqhd->bkhd", g8, q8).astype(jnp.float32)
+          * (sg * sq)).astype(k_proto.dtype)
+    return dq, dk
+
+
+int8_qk_dot.defvjp(_qk_fwd, _qk_bwd)
+
+
+@jax.custom_vjp
+def int8_pv_dot(p: jax.Array, v: jax.Array) -> jax.Array:
+    """out[b,q,h,d] = Σ_k p[b,h,q,k] v[b,k,h,d] on the int8 MXU."""
+    out, _ = _pv_fwd(p, v)
+    return out
+
+
+def _pv_fwd(p, v):
+    p8, sp = _q8(p)
+    v8, sv = _q8(v)
+    acc = _ei32("bhqk,bkhd->bqhd", p8, v8)
+    out_dtype = jnp.promote_types(p.dtype, v.dtype)
+    out = (acc.astype(jnp.float32) * (sp * sv)).astype(out_dtype)
+    res = (p8, sp, v8, sv,
+           jnp.zeros((0,), p.dtype), jnp.zeros((0,), v.dtype))
+    return out, res
+
+
+def _pv_bwd(res, g):
+    p8, sp, v8, sv, p_proto, v_proto = res
+    g8, sg = _q8(g)
+    dp = (_ei32("bqhd,bkhd->bhqk", g8, v8).astype(jnp.float32)
+          * (sg * sv)).astype(p_proto.dtype)
+    dv = (_ei32("bhqk,bqhd->bkhd", p8, g8).astype(jnp.float32)
+          * (sp * sg)).astype(v_proto.dtype)
+    return dp, dv
+
+
+int8_pv_dot.defvjp(_pv_fwd, _pv_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Serving variant: per-output-channel weight scales (``--quant int8_serve``)
 # ---------------------------------------------------------------------------
 #

@@ -23,7 +23,16 @@ from __future__ import annotations
 import functools
 from typing import Any, Optional
 
-_VALID = ("int8", "int8_fwd", "int8_fast", "int8_serve")
+_VALID = ("int8", "int8_fwd", "int8_fast", "int8_fast_attn", "int8_serve")
+
+
+def attn_int8(quant) -> bool:
+    """True when --quant also moves the attention-interior dots (QK^T,
+    P.V and their backward dots) to the int8 MXU (ops/qdot.py
+    int8_qk_dot/int8_pv_dot). Only int8_fast_attn opts in: the interior
+    touches softmax inputs/outputs, so it is a separate, more aggressive
+    step than quantizing the Dense GEMMs."""
+    return quant == "int8_fast_attn"
 
 
 def make_dot_general_cls(quant: Optional[str]) -> Any:
@@ -32,9 +41,11 @@ def make_dot_general_cls(quant: Optional[str]) -> Any:
     silently run unquantized."""
     if not quant or quant == "none":
         return None
-    if quant == "int8_fast":
+    if quant in ("int8_fast", "int8_fast_attn"):
         # Native shared-calibration int8 dot (ops/qdot.py) — one
         # calibration per tensor per step instead of AQT's per-use six.
+        # int8_fast_attn additionally routes the attention interior
+        # through int8 (see attn_int8 / models FusedAttention).
         from .qdot import Int8FastDotGeneral
         return Int8FastDotGeneral
     if quant == "int8_serve":

@@ -179,7 +179,7 @@ def test_int8_fast_rejects_non_dense_pattern():
         dg(a, b, (((2,), (1,)), ((0,), (0,))))  # batched contraction
 
 
-@pytest.mark.parametrize("quant", ["int8", "int8_fast"])
+@pytest.mark.parametrize("quant", ["int8", "int8_fast", "int8_fast_attn"])
 def test_int8_train_step_trains(quant):
     rng = jax.random.PRNGKey(0)
     model = _clip(quant)
@@ -316,3 +316,82 @@ def test_int8_fast_sharded_step_matches_single_device():
                      jax.tree_util.tree_leaves(sh[2])):
         diff = np.abs(np.asarray(a) - np.asarray(b_))
         assert diff.max(initial=0.0) <= 2 * lr + 1e-6, diff.max()
+
+
+# ---------------------------------------------------------------------------
+# attention-interior int8 dots (--quant int8_fast_attn)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_attention_dots_close_and_differentiable():
+    """int8_qk_dot / int8_pv_dot track the bf16/fp32 einsums within the
+    int8 quantization envelope, forward and through both gradients
+    (straight-through semantics: grads are int8 dots over the shared
+    residuals, close to the exact einsum grads)."""
+    from mamba_clip_tpu.ops.qdot import int8_pv_dot, int8_qk_dot
+
+    r = np.random.default_rng(0)
+    B, T, h, hd = 2, 9, 3, 8
+    q = jnp.asarray(r.normal(0, 1, (B, T, h, hd)), jnp.float32)
+    k = jnp.asarray(r.normal(0, 1, (B, T, h, hd)), jnp.float32)
+    v = jnp.asarray(r.normal(0, 1, (B, T, h, hd)), jnp.float32)
+    p = jax.nn.softmax(
+        jnp.asarray(r.normal(0, 1, (B, h, T, T)), jnp.float32), axis=-1)
+
+    def rel(a, b):
+        return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+
+    s_ref = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    s_q = int8_qk_dot(q, k)
+    assert 0 < rel(s_q, s_ref) < 0.03  # quantized: close, not equal
+
+    o_ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    o_q = int8_pv_dot(p, v)
+    assert 0 < rel(o_q, o_ref) < 0.03
+
+    def loss_q(q, k, v, p):
+        return jnp.sum(int8_qk_dot(q, k) ** 2) + jnp.sum(
+            int8_pv_dot(p, v) ** 2)
+
+    def loss_ref(q, k, v, p):
+        return (jnp.sum(jnp.einsum("bqhd,bkhd->bhqk", q, k) ** 2)
+                + jnp.sum(jnp.einsum("bhqk,bkhd->bqhd", p, v) ** 2))
+
+    g_q = jax.grad(loss_q, argnums=(0, 1, 2, 3))(q, k, v, p)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, p)
+    for a, b in zip(g_q, g_r):
+        assert rel(a, b) < 0.06, rel(a, b)
+
+
+def test_int8_fast_attn_model_close_to_int8_fast():
+    """The attention-interior quantization is a bounded increment on top
+    of int8_fast: same tiny model/batch, forward losses agree within the
+    attention quantization envelope and differ (it really engaged)."""
+    rng = jax.random.PRNGKey(0)
+    losses = {}
+    for quant in ("int8_fast", "int8_fast_attn"):
+        model = _clip(quant)
+        variables = model.init(
+            {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+            text=jnp.ones((2, 16), jnp.int32),
+        )
+        args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1,
+                    precision="fp32", quant=quant)
+        policy = get_policy("fp32")
+        tcfg = get_transform_config(None, 32, is_train=True)
+        schedule = create_schedule(args, 10)
+        tx = build_optimizer(args, schedule)
+        state = create_train_state(variables["params"], tx, {})
+        fn = jax.jit(make_clip_train_step(model, tx, policy, args, tcfg,
+                                          schedule))
+        r = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(
+                r.integers(0, 256, (8, 40, 40, 3), dtype=np.uint8)),
+            "tokens": jnp.asarray(r.integers(4, 64, (8, 16), dtype=np.int32)),
+        }
+        _, metrics = fn(state, batch, rng)
+        losses[quant] = float(metrics["loss"])
+    assert np.isfinite(losses["int8_fast_attn"])
+    assert losses["int8_fast"] != losses["int8_fast_attn"]
+    assert abs(losses["int8_fast"] - losses["int8_fast_attn"]) < 0.1

@@ -134,6 +134,7 @@ def main():
         curves = {
             "bf16_amp": run_full_tpu(None, a.steps),
             "int8_fast": run_full_tpu("int8_fast", a.steps),
+            "int8_fast_attn": run_full_tpu("int8_fast_attn", a.steps),
             # benign-perturbation yardstick: same recipe, different data
             # draw — calibrates how much trajectory divergence a harmless
             # change produces at this scale
@@ -144,7 +145,7 @@ def main():
         out = {"steps": a.steps,
                "bf16_amp": {"first": round(float(base[0]), 4),
                             "final": round(float(base[-1]), 4)}}
-        for name in ("int8_fast", "bf16_amp_dataseed1"):
+        for name in ("int8_fast", "int8_fast_attn", "bf16_amp_dataseed1"):
             c = np.asarray(curves[name])
             out[name] = {
                 "first": round(float(c[0]), 4),
