@@ -40,6 +40,9 @@ _EPOCH_RE = re.compile(r"epoch_(\d+)(?:_step_(\d+))?$")
 # batches completed in it; natural sort orders them exactly right:
 # epoch_e < epoch_e_step_m < epoch_{e+1}
 _STEP_SUFFIX_RE = re.compile(r"epoch_(\d+)_step_(\d+)$")
+# matches a step checkpoint ANYWHERE in a relative path (remote_sync walks
+# files inside the checkpoint dirs)
+_STEP_SKIP_RE = re.compile(r"epoch_\d+_step_\d+(?:\.meta\.json)?(?:/|$)")
 
 
 def parse_step_checkpoint(path: str):
@@ -47,6 +50,29 @@ def parse_step_checkpoint(path: str):
     else None."""
     m = _STEP_SUFFIX_RE.search(os.path.basename(path.rstrip("/")))
     return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def validate_step_resume(path: str, batch_size: int) -> None:
+    """Check a step checkpoint's sidecar against this run's loader
+    geometry. The stored batch offset is only meaningful under the batch
+    size it was written with — fast-forwarding `m` batches of a different
+    size would silently misalign the epoch, so a mismatch is an error.
+    Checkpoints without a sidecar (older runs) skip the check."""
+    meta_path = path.rstrip("/") + ".meta.json"
+    if not os.path.exists(meta_path):
+        return
+    import json
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if (meta.get("batch_size") is not None
+            and meta["batch_size"] != batch_size):
+        raise ValueError(
+            f"mid-epoch checkpoint {path} was written at --batch-size "
+            f"{meta['batch_size']}; resuming at {batch_size} would "
+            "fast-forward a different sample offset. Use the original "
+            "batch size (or resume from an epoch checkpoint)."
+        )
 
 
 def natural_key(s: str):
@@ -239,16 +265,27 @@ class StepCheckpointer:
         self.prefix = prefix
         self._ring: list = []
 
-    def __call__(self, state, epoch: int, batches_done: int) -> str:
+    def __call__(self, state, epoch: int, batches_done: int,
+                 num_batches: Optional[int] = None) -> str:
         path = save_checkpoint(
             self.ckpt_dir, state, epoch, self.args,
             name=f"{self.prefix}epoch_{epoch}_step_{batches_done}",
         )
+        # sidecar: the loader geometry the batch offset is meaningful in.
+        # Resume validates it — fast-forwarding `m` batches of a DIFFERENT
+        # batch size/num_batches would silently misalign the epoch.
+        import json as _json
+
+        with open(path + ".meta.json", "w") as f:
+            _json.dump({"batch_size": getattr(self.args, "batch_size", None),
+                        "num_batches": num_batches}, f)
         self._ring.append(path)
         if len(self._ring) > 2:
             doomed = self._ring.pop(0)
             if os.path.isdir(doomed):
                 shutil.rmtree(doomed)
+            if os.path.exists(doomed + ".meta.json"):
+                os.remove(doomed + ".meta.json")
         return path
 
     def finalize(self) -> None:
@@ -263,10 +300,12 @@ class StepCheckpointer:
         except FileNotFoundError:
             names = []
         for n in names:
-            if n.startswith(self.prefix) and _STEP_SUFFIX_RE.search(n):
+            if n.startswith(self.prefix) and _STEP_SKIP_RE.search(n):
                 p = os.path.join(self.ckpt_dir, n)
                 if os.path.isdir(p):
                     shutil.rmtree(p)
+                elif os.path.isfile(p):  # the .meta.json sidecar
+                    os.remove(p)
         self._ring.clear()
 
 
@@ -284,7 +323,11 @@ def delete_previous_checkpoint(ckpt_dir: str, epoch: int, prefix: str = "") -> N
 
 def remote_sync(local_dir: str, remote_dir: str, protocol: str = "fsspec") -> bool:
     """One sync pass: copy new/changed files, skip epoch_latest and
-    same-size keys."""
+    same-size keys. Mid-epoch step checkpoints (--checkpoint-steps) are
+    skipped too: they rotate (the local ring deletes them seconds after
+    creation) and the deletion is never mirrored, so syncing them would
+    leave partial/stale step dirs that remote `--resume latest`
+    discovery would natural-sort as newest."""
     try:
         import fsspec
 
@@ -293,16 +336,18 @@ def remote_sync(local_dir: str, remote_dir: str, protocol: str = "fsspec") -> bo
             for fn in filenames:
                 lpath = os.path.join(dirpath, fn)
                 rel = os.path.relpath(lpath, local_dir)
-                if "epoch_latest" in rel:
+                if "epoch_latest" in rel or _STEP_SKIP_RE.search(rel):
                     continue
                 rpath = os.path.join(rroot, rel)
                 try:
                     if rfs.exists(rpath) and rfs.size(rpath) == os.path.getsize(lpath):
                         continue
-                except Exception:
-                    pass
-                rfs.makedirs(os.path.dirname(rpath), exist_ok=True)
-                rfs.put(lpath, rpath)
+                    rfs.makedirs(os.path.dirname(rpath), exist_ok=True)
+                    rfs.put(lpath, rpath)
+                except FileNotFoundError:
+                    # a rotating artifact vanished mid-walk; skip, don't
+                    # abort the whole pass
+                    continue
         return True
     except Exception as e:
         logger.error(f"remote sync failed: {e}")

@@ -322,6 +322,9 @@ def prepare_params(
         parsed = parse_step_checkpoint(run.resume_from)
         if parsed is not None:
             start_batch = parsed[1]
+            from .checkpoint import validate_step_resume
+
+            validate_step_resume(run.resume_from, args.batch_size)
             logger.info(
                 f"Resumed mid-epoch checkpoint (epoch {start_epoch}, "
                 f"batch {start_batch})"

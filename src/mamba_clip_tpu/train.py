@@ -523,8 +523,16 @@ def train_one_epoch(
     train_data = data["train"]
     train_data.set_epoch(epoch)
     loader = train_data.loader
-    loader.start_batch = start_batch
     num_batches = loader.num_batches
+    if start_batch >= num_batches > 0:
+        raise ValueError(
+            f"--resume from a mid-epoch checkpoint at batch {start_batch}, "
+            f"but this run's epoch has only {num_batches} batches — the "
+            "data/batch-size configuration changed since the checkpoint "
+            "was written; mid-epoch resume is only exact under the same "
+            "loader geometry"
+        )
+    loader.start_batch = start_batch
     sample_digits = math.ceil(math.log10(max(loader.num_samples, 1) + 1))
     world = getattr(run_state, "world_size", 1) if run_state else 1
 
@@ -539,8 +547,11 @@ def train_one_epoch(
         it = device_put_fn(it)
 
     tracing = False
+    # trace steps 3-8 of THIS iteration (relative to start_batch, so a
+    # mid-epoch-resumed run still captures a profile)
+    trace_lo, trace_hi = start_batch + 3, start_batch + 8
     for i, batch in enumerate(it, start=start_batch):
-        if trace_dir and i == 3 and not tracing:
+        if trace_dir and i == trace_lo and not tracing:
             try:
                 jax.profiler.start_trace(trace_dir)
                 tracing = True
@@ -549,7 +560,7 @@ def train_one_epoch(
                 trace_dir = None
         data_time_m.update(time.perf_counter() - end)
         state, metrics = step_fn(state, batch, rng)
-        if tracing and i == 8:
+        if tracing and i == trace_hi:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             tracing = False
@@ -559,7 +570,7 @@ def train_one_epoch(
                 and getattr(args, "checkpoint_steps", 0) > 0
                 and (i + 1) % args.checkpoint_steps == 0
                 and i + 1 < num_batches):
-            step_ckpt_cb(state, epoch, i + 1)
+            step_ckpt_cb(state, epoch, i + 1, num_batches=num_batches)
 
         window_steps += 1
         log_now = (

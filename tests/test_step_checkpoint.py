@@ -116,10 +116,14 @@ def test_step_checkpointer_ring(tmp_path):
     for m in (2, 4, 6):
         ck(state, 0, m)
     wait_for_checkpoints()  # the newest save commits (tmp dir → final name)
-    names = sorted(n for n in os.listdir(tmp_path) if "step" in n)
-    assert names == ["stage_1_epoch_0_step_4", "stage_1_epoch_0_step_6"]
+    dirs = sorted(n for n in os.listdir(tmp_path)
+                  if "step" in n and os.path.isdir(tmp_path / n))
+    assert dirs == ["stage_1_epoch_0_step_4", "stage_1_epoch_0_step_6"]
+    # each survivor carries its geometry sidecar; the deleted one's is gone
+    assert os.path.exists(tmp_path / "stage_1_epoch_0_step_4.meta.json")
+    assert not os.path.exists(tmp_path / "stage_1_epoch_0_step_2.meta.json")
     # finalize sweeps stale step checkpoints from a preempted predecessor
-    # too, but only for its own stage prefix
+    # too (dirs AND sidecars), but only for its own stage prefix
     os.makedirs(tmp_path / "stage_1_epoch_0_step_1")
     os.makedirs(tmp_path / "stage_2_epoch_0_step_3")
     ck.finalize()
@@ -246,3 +250,53 @@ def _flatten(tree, prefix=""):
     else:
         out[prefix] = tree
     return out
+
+
+def test_batch_size_mismatch_rejected(tmp_path):
+    """A step checkpoint's sidecar pins the loader geometry; resuming at
+    a different --batch-size is a hard error, not a silent misalignment."""
+    import types
+
+    import jax.numpy as jnp
+    import optax
+
+    from mamba_clip_tpu.checkpoint import (
+        StepCheckpointer, validate_step_resume, wait_for_checkpoints)
+    from mamba_clip_tpu.train import create_train_state
+
+    state = create_train_state({"w": jnp.ones((2,))}, optax.sgd(1e-2), {})
+    ck = StepCheckpointer(str(tmp_path), types.SimpleNamespace(batch_size=8),
+                          prefix="stage_1_")
+    path = ck(state, 0, 4, num_batches=6)
+    wait_for_checkpoints()
+    assert os.path.exists(path + ".meta.json")
+
+    validate_step_resume(path, 8)  # same geometry: fine
+    with pytest.raises(ValueError, match="batch-size 8"):
+        validate_step_resume(path, 16)
+    # checkpoints without a sidecar (older runs) skip the check
+    os.remove(path + ".meta.json")
+    validate_step_resume(path, 16)
+
+
+def test_remote_sync_skips_step_checkpoints(tmp_path):
+    """remote_sync never mirrors rotating step checkpoints (their local
+    deletion is never mirrored either, so syncing them would leave stale
+    'newest' checkpoints for remote resume discovery)."""
+    from mamba_clip_tpu.checkpoint import remote_sync
+
+    local = tmp_path / "local"
+    remote = tmp_path / "remote"
+    (local / "stage_1_epoch_1").mkdir(parents=True)
+    (local / "stage_1_epoch_1" / "data").write_text("keep")
+    (local / "stage_1_epoch_0_step_4").mkdir()
+    (local / "stage_1_epoch_0_step_4" / "data").write_text("skip")
+    (local / "stage_1_epoch_0_step_4.meta.json").write_text("{}")
+    (local / "stage_1_epoch_latest").mkdir()
+    (local / "stage_1_epoch_latest" / "data").write_text("skip")
+
+    assert remote_sync(str(local), str(remote))
+    assert (remote / "stage_1_epoch_1" / "data").exists()
+    assert not (remote / "stage_1_epoch_0_step_4").exists()
+    assert not (remote / "stage_1_epoch_0_step_4.meta.json").exists()
+    assert not (remote / "stage_1_epoch_latest").exists()

@@ -104,9 +104,9 @@ def _scenarios():
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return probs.sum()
 
-    yield ("clip_pair", lambda: clip_pair(cvars, raw, tokens))
-    yield ("image_embed", lambda: image_embed(cvars, raw))
-    yield ("medmamba_classify", lambda: classify(clvars, raw))
+    yield ("clip_pair", lambda: clip_pair(cvars, raw, tokens), QUANT or "bf16")
+    yield ("image_embed", lambda: image_embed(cvars, raw), QUANT or "bf16")
+    yield ("medmamba_classify", lambda: classify(clvars, raw), QUANT or "bf16")
 
 
 def _artifact_scenarios(art_dir):
@@ -124,6 +124,7 @@ def _artifact_scenarios(art_dir):
     tokens = jnp.asarray(
         np_rng.integers(4, int(m["vocab_size"]),
                         (BATCH, int(m["context_length"])), dtype=np.int32))
+    art_quant = m.get("quant") or "bf16"
     for name in sorted(m["entry_points"]):
         fn = served[name]
         x = tokens if name == "text_embed" else raw
@@ -133,7 +134,7 @@ def _artifact_scenarios(art_dir):
             # tiny follow-up reduction is what gets fetched (barrier)
             return fn(x).astype(jnp.float32).sum()
 
-        yield (f"artifact_{name}", call)
+        yield (f"artifact_{name}", call, art_quant)
 
 
 def main():
@@ -145,7 +146,7 @@ def main():
 
     scenarios = (_artifact_scenarios(a.artifact) if a.artifact
                  else _scenarios())
-    for name, call in scenarios:
+    for name, call, quant_label in scenarios:
         for _ in range(WARMUP):
             out = call()
         float(out)  # barrier
@@ -160,7 +161,7 @@ def main():
             "value": round(BATCH * STEPS / dt, 2),
             "unit": "images/sec/chip",
             "batch": BATCH,
-            "quant": QUANT or "bf16",
+            "quant": quant_label,
         }))
 
 

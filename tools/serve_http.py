@@ -54,13 +54,17 @@ def make_server(artifact: str, port: int = 0, host: str = "127.0.0.1"):
     from mamba_clip_tpu.data.dataset import _decode_to_square
     from mamba_clip_tpu.serving import load_serving
 
+    # check the manifest BEFORE load_serving: a sharded artifact would
+    # fail mesh construction inside the loader with an obscure error on
+    # hosts with fewer devices than shards
+    with open(os.path.join(artifact, "manifest.json")) as f:
+        if int(json.load(f).get("data_shards", 1)) > 1:
+            raise ValueError(
+                "serve_http serves single-shard artifacts (request batches "
+                "are tiny); export with --data-shards 1 for this host"
+            )
     served = load_serving(artifact)
     manifest = served["manifest"]
-    if int(manifest.get("data_shards", 1)) > 1:
-        raise ValueError(
-            "serve_http serves single-shard artifacts (request batches are "
-            "tiny); export with --data-shards 1 for this host"
-        )
     staging = int(manifest["staging_size"])
 
     def decode(blob: bytes) -> np.ndarray:
