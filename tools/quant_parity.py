@@ -160,7 +160,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     curves = {}
-    for quant in (None, "int8", "int8_fast"):
+    for quant in (None, "int8", "int8_fast", "int8_fast_attn"):
         curves[quant or "fp32"] = run(quant, a.steps)
 
     base = np.asarray(curves["fp32"])
@@ -177,9 +177,9 @@ def main():
         print(json.dumps(out))
     else:
         for name, c in curves.items():
-            print(f"{name:10s} first={c[0]:.4f} final={c[-1]:.4f}")
-        for name in ("int8", "int8_fast"):
-            print(f"{name:10s} max|Δloss| vs fp32 = "
+            print(f"{name:14s} first={c[0]:.4f} final={c[-1]:.4f}")
+        for name in ("int8", "int8_fast", "int8_fast_attn"):
+            print(f"{name:14s} max|Δloss| vs fp32 = "
                   f"{out[name]['max_dev_vs_fp32']:.4f}, "
                   f"final Δ = {out[name]['final_dev_vs_fp32']:.4f}")
 
