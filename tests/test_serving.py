@@ -345,7 +345,9 @@ def test_http_serving_host(tmp_path):
     from PIL import Image
 
     out = str(tmp_path / "art")
-    export_serving(out, "biomedclip", **_tiny_clip_kw())
+    # quantized + compressed: the full production-artifact composition
+    export_serving(out, "biomedclip", quant="int8_serve",
+                   compress_weights=True, **_tiny_clip_kw())
 
     spec = importlib.util.spec_from_file_location(
         "serve_http_tool",
