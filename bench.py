@@ -175,17 +175,13 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
     return step_fn, state, batch, rng
 
 
-def main():
+def measure(quant):
+    """Measure the stage-1 step's images/sec/chip for one quant recipe."""
     import jax
     import numpy as np
 
-    from mamba_clip_tpu.parallel.mesh import enable_compilation_cache
-
-    enable_compilation_cache()
-    verify_compiled_kernel()
-
     step_fn, state, batch, rng = build_train_step(
-        batch_size=BATCH, model_name=MODEL, precision=PRECISION, quant=QUANT
+        batch_size=BATCH, model_name=MODEL, precision=PRECISION, quant=quant
     )
 
     def force_sync(state, metrics):
@@ -204,10 +200,17 @@ def main():
     loss, _ = force_sync(state, metrics)
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), f"non-finite training loss {loss}"
+    return BATCH * STEPS / dt / jax.local_device_count()
 
-    n_chips = jax.local_device_count()
-    img_per_s = BATCH * STEPS / dt / n_chips
-    print(json.dumps({
+
+def main():
+    from mamba_clip_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
+    verify_compiled_kernel()
+
+    img_per_s = measure(QUANT)
+    out = {
         "metric": "stage1_contrastive_images_per_sec_per_chip",
         "value": round(img_per_s, 2),
         "unit": "images/sec/chip",
@@ -216,7 +219,20 @@ def main():
         "vs_baseline_conservative": round(
             img_per_s / A100_BASELINE_CONSERVATIVE_IMG_S, 3),
         "baseline_conservative_img_s": A100_BASELINE_CONSERVATIVE_IMG_S,
-    }))
+    }
+    if QUANT:
+        out["quant"] = QUANT
+    # BENCH_SECONDARY: also measure a second recipe in the same process
+    # (e.g. the bf16 reference when the primary is quantized) so the one
+    # JSON line carries both numbers.
+    secondary = os.environ.get("BENCH_SECONDARY")
+    if secondary is not None and (secondary or None) != QUANT:
+        sec_rate = measure(secondary or None)
+        out["secondary_quant"] = secondary or "bf16"
+        out["secondary_value"] = round(sec_rate, 2)
+        out["secondary_vs_baseline"] = round(
+            sec_rate / A100_BASELINE_IMG_S, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
