@@ -203,6 +203,19 @@ def measure(quant):
     return BATCH * STEPS / dt / jax.local_device_count()
 
 
+def choose_secondary(env_value, quant):
+    """Pick the second recipe measured in the same bench process.
+
+    BENCH_SECONDARY set → honor it ("" disables). Unset with an
+    unquantized primary → default to the fastest opt-in quantized recipe
+    (`--quant int8_fast`, PERF.md round-3) so the one JSON line carries
+    both the reference-numerics bf16 number and the quantized number.
+    """
+    if env_value is not None:
+        return env_value
+    return "int8_fast" if quant is None else None
+
+
 def main():
     from mamba_clip_tpu.parallel.mesh import enable_compilation_cache
 
@@ -222,10 +235,7 @@ def main():
     }
     if QUANT:
         out["quant"] = QUANT
-    # BENCH_SECONDARY: also measure a second recipe in the same process
-    # (e.g. the bf16 reference when the primary is quantized) so the one
-    # JSON line carries both numbers.
-    secondary = os.environ.get("BENCH_SECONDARY")
+    secondary = choose_secondary(os.environ.get("BENCH_SECONDARY"), QUANT)
     if secondary is not None and (secondary or None) != QUANT:
         sec_rate = measure(secondary or None)
         out["secondary_quant"] = secondary or "bf16"

@@ -61,3 +61,20 @@ def test_precision_mapping():
     assert get_input_dtype("fp32") == jnp.float32
     with pytest.raises(ValueError):
         get_policy("nope")
+
+
+def test_bench_choose_secondary():
+    """bench.py measures the quantized recipe alongside bf16 by default;
+    an explicit BENCH_SECONDARY (including "") always wins."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.choose_secondary(None, None) == "int8_fast"
+    assert bench.choose_secondary(None, "int8_fast") is None
+    assert bench.choose_secondary(None, "int8") is None
+    assert bench.choose_secondary("", None) == ""  # explicit disable
+    assert bench.choose_secondary("int8", None) == "int8"
