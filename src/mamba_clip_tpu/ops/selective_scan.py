@@ -157,11 +157,45 @@ def _chunk_suffix_g(a_next, c, m, T: int):
 # ---------------------------------------------------------------------------
 
 
+def _lane_select(Mm, npack: int, np_each: int, DT: int):
+    """Expand a packed (T, npack*np_each) B/C row to (T, np_each, DT) where
+    lane d reads slot p = d // (DT // npack). With npack == 1 this is the
+    plain broadcast Mm[:, :, None]."""
+    if npack == 1:
+        return Mm[:, :, None]
+    dgp = DT // npack
+    lane_slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, DT), 2) // dgp
+
+    def slot(p):  # (T, np_each, 1); explicit slice (gather doesn't lower)
+        return jax.lax.slice_in_dim(Mm, p * np_each, (p + 1) * np_each, axis=1)[
+            :, :, None
+        ]
+
+    sel = slot(0)
+    for p in range(1, npack):
+        sel = jnp.where(lane_slot == p, slot(p), sel)
+    return sel  # (T, np_each, DT)
+
+
+def _lane_reduce(X, npack: int, DT: int):
+    """Reduce (T, np_each, DT) over lanes per slot -> (T, npack*np_each),
+    the adjoint of _lane_select. With npack == 1 this is a plain sum."""
+    if npack == 1:
+        return jnp.sum(X, axis=2)
+    dgp = DT // npack
+    lane_slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, DT), 2) // dgp
+    parts = [
+        jnp.sum(jnp.where(lane_slot == p, X, 0.0), axis=2)
+        for p in range(npack)
+    ]
+    return jnp.concatenate(parts, axis=1)  # (T, npack*np_each)
+
+
 def _fwd_kernel(
     delta_ref, u_ref, B_ref, C_ref, A_ref, D_ref, bias_ref,
     y_ref, hck_ref,
     h_carry,
-    *, T: int, softplus: bool, l_valid: int,
+    *, T: int, softplus: bool, l_valid: int, npack: int, np_each: int,
 ):
     lc = pl.program_id(2)
 
@@ -174,10 +208,11 @@ def _fwd_kernel(
 
     delta = delta_ref[0].astype(jnp.float32)  # (T, DT)
     u = u_ref[0].astype(jnp.float32)          # (T, DT)
-    Bm = B_ref[0].astype(jnp.float32)         # (T, N)
-    Cm = C_ref[0].astype(jnp.float32)         # (T, N)
+    Bm = B_ref[0].astype(jnp.float32)         # (T, npack*N)
+    Cm = C_ref[0].astype(jnp.float32)         # (T, npack*N)
     Arow = A_ref[0]                           # (N, DT) fp32
     bias = bias_ref[0]                        # (1, DT) fp32
+    DT = u.shape[-1]
 
     dt = delta + bias
     if softplus:
@@ -188,11 +223,13 @@ def _fwd_kernel(
 
     du = dt * u                                        # (T, DT)
     a = jnp.exp(dt[:, None, :] * Arow[None])           # (T, N, DT)
-    b = Bm[:, :, None] * du[:, None, :]                # (T, N, DT)
+    Bsel = _lane_select(Bm, npack, np_each, DT)
+    b = Bsel * du[:, None, :]                          # (T, N, DT)
 
     h = _chunk_prefix_h(a, b, h_in, T)                 # (T, N, DT)
 
-    y = jnp.sum(h * Cm[:, :, None], axis=1)            # (T, DT)
+    Csel = _lane_select(Cm, npack, np_each, DT)
+    y = jnp.sum(h * Csel, axis=1)                      # (T, DT)
     y_ref[0] = y + u * D_ref[0]
     h_carry[...] = h[T - 1]
 
@@ -208,6 +245,7 @@ def _bwd_kernel(
     ddelta_ref, du_ref, dB_ref, dC_ref, dA_ref, dD_ref, dbias_ref,
     g_carry,
     *, T: int, softplus: bool, l_valid: int, nchunks: int,
+    npack: int, np_each: int,
 ):
     lc_rev = pl.program_id(2)           # 0..NC-1, maps to chunk NC-1-lc_rev
     lc = nchunks - 1 - lc_rev
@@ -234,21 +272,25 @@ def _bwd_kernel(
     mask = t_ids < l_valid
     dt = jnp.where(mask, dt, 0.0)
 
+    DT = u.shape[-1]
+    Bsel = _lane_select(Bm, npack, np_each, DT)
+    Csel = _lane_select(Cm, npack, np_each, DT)
+
     du_ = dt * u
     a = jnp.exp(dt[:, None, :] * Arow[None])
-    b = Bm[:, :, None] * du_[:, None, :]
+    b = Bsel * du_[:, None, :]
     h = _chunk_prefix_h(a, b, h_in, T)
     h_prev = jnp.concatenate([h_in[None], h[: T - 1]], axis=0)
 
     # Reverse recurrence: g_t = C_t dy_t + a_{t+1} g_{t+1}.
-    c = Cm[:, :, None] * dy[:, None, :]                   # (T, N, DT)
+    c = Csel * dy[:, None, :]                             # (T, N, DT)
     a_next = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
     g = _chunk_suffix_g(a_next, c, g_carry[...], T)       # (T, N, DT)
     g_carry[...] = a[0] * g[0]
 
-    dC = jnp.sum(dy[:, None, :] * h, axis=2)              # (T, N)
-    dB = jnp.sum(g * du_[:, None, :], axis=2)             # (T, N)
-    ddu = jnp.sum(g * Bm[:, :, None], axis=1)             # (T, DT)
+    dC = _lane_reduce(dy[:, None, :] * h, npack, DT)      # (T, npack*N)
+    dB = _lane_reduce(g * du_[:, None, :], npack, DT)     # (T, npack*N)
+    ddu = jnp.sum(g * Bsel, axis=1)                       # (T, DT)
     da = g * h_prev                                       # (T, N, DT)
     ddt = jnp.sum(da * a * Arow[None], axis=1) + ddu * u  # (T, DT)
     if softplus:
@@ -274,7 +316,9 @@ _CHUNK = 128  # log2(128)=7 doubling passes per chunk; VMEM ~6MB of scan state
 _LANE = 128
 
 
-def _specs(BG, LP, DP, NP, G, T, DT):
+def _specs(BG, LP, DP, NPB, NPA, G, T, DT):
+    """NPB = packed B/C row width (npack*N slots); NPA = per-slot state
+    width (the A/scratch sublane dim)."""
     nd = DP // DT
     row = lambda bg, dtile, lc: (bg, lc, dtile)
     grp = lambda bg, dtile, lc: (bg % G, 0, dtile)
@@ -282,9 +326,9 @@ def _specs(BG, LP, DP, NP, G, T, DT):
     in_specs = [
         pl.BlockSpec((1, T, DT), row, memory_space=pltpu.VMEM),  # delta
         pl.BlockSpec((1, T, DT), row, memory_space=pltpu.VMEM),  # u
-        pl.BlockSpec((1, T, NP), bc, memory_space=pltpu.VMEM),   # B
-        pl.BlockSpec((1, T, NP), bc, memory_space=pltpu.VMEM),   # C
-        pl.BlockSpec((1, NP, DT), grp, memory_space=pltpu.VMEM),  # A_t
+        pl.BlockSpec((1, T, NPB), bc, memory_space=pltpu.VMEM),   # B
+        pl.BlockSpec((1, T, NPB), bc, memory_space=pltpu.VMEM),   # C
+        pl.BlockSpec((1, NPA, DT), grp, memory_space=pltpu.VMEM),  # A_t
         pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),   # D
         pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),   # bias
     ]
@@ -302,66 +346,74 @@ def _out_sds(shape, *operands):
         return jax.ShapeDtypeStruct(shape, jnp.float32)
 
 
-def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid, interpret):
+def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid,
+                interpret, npack=1):
     BG, LP, DP = u.shape
     NP = Bmat.shape[-1]
     G = A_t.shape[0]
     T = min(_CHUNK, LP)
     DT = min(_LANE, DP)
     NC = LP // T
-    in_specs, nd = _specs(BG, LP, DP, NP, G, T, DT)
+    NPA = NP // npack  # per-slot state width = A/scratch sublane dim
+    in_specs, nd = _specs(BG, LP, DP, NP, NPA, G, T, DT)
     grid = (BG, nd, NC)
-    kernel = functools.partial(_fwd_kernel, T=T, softplus=softplus, l_valid=l_valid)
-    flops_per = T * NP * DT * 14
+    kernel = functools.partial(
+        _fwd_kernel, T=T, softplus=softplus, l_valid=l_valid,
+        npack=npack, np_each=NPA,
+    )
+    flops_per = T * NPA * DT * 14
     y, hck = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, T, DT), lambda bg, d, lc: (bg, lc, d), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NP, DT), lambda bg, d, lc: (bg, lc, 0, d), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NPA, DT), lambda bg, d, lc: (bg, lc, 0, d), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             _out_sds((BG, LP, DP), delta, u, Bmat, Cmat),
-            _out_sds((BG, NC, NP, DP), delta, u, Bmat, Cmat),
+            _out_sds((BG, NC, NPA, DP), delta, u, Bmat, Cmat),
         ],
-        scratch_shapes=[pltpu.VMEM((NP, DT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NPA, DT), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops_per * BG * nd * NC,
             bytes_accessed=(delta.size + u.size) * delta.dtype.itemsize * 2,
-            transcendentals=BG * nd * NC * T * NP * DT,
+            transcendentals=BG * nd * NC * T * NPA * DT,
         ),
         interpret=interpret,
     )(delta, u, Bmat, Cmat, A_t, Dvec, bias)
     return y, hck
 
 
-def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus, l_valid, interpret):
+def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus,
+                l_valid, interpret, npack=1):
     BG, LP, DP = u.shape
     NP = Bmat.shape[-1]
     G = A_t.shape[0]
     T = min(_CHUNK, LP)
     DT = min(_LANE, DP)
     NC = LP // T
-    in_specs, nd = _specs(BG, LP, DP, NP, G, T, DT)
+    NPA = NP // npack  # per-slot state width = A/scratch sublane dim
     # reversed chunk visit order for the seq-major inputs
     rrow = lambda bg, d, lc: (bg, NC - 1 - lc, d)
     rbc = lambda bg, d, lc: (bg, NC - 1 - lc, 0)
     grp = lambda bg, d, lc: (bg % G, 0, d)
+    nd = DP // DT
     in_specs = [
         pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # delta
         pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # u
         pl.BlockSpec((1, T, NP), rbc, memory_space=pltpu.VMEM),    # B
         pl.BlockSpec((1, T, NP), rbc, memory_space=pltpu.VMEM),    # C
-        pl.BlockSpec((1, NP, DT), grp, memory_space=pltpu.VMEM),   # A_t
+        pl.BlockSpec((1, NPA, DT), grp, memory_space=pltpu.VMEM),  # A_t
         pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),    # D
         pl.BlockSpec((1, 1, DT), grp, memory_space=pltpu.VMEM),    # bias
         pl.BlockSpec((1, T, DT), rrow, memory_space=pltpu.VMEM),   # dy
-        pl.BlockSpec((1, 1, NP, DT), lambda bg, d, lc: (bg, NC - 1 - lc, 0, d),
+        pl.BlockSpec((1, 1, NPA, DT), lambda bg, d, lc: (bg, NC - 1 - lc, 0, d),
                      memory_space=pltpu.VMEM),                      # hck
     ]
     kernel = functools.partial(
-        _bwd_kernel, T=T, softplus=softplus, l_valid=l_valid, nchunks=NC
+        _bwd_kernel, T=T, softplus=softplus, l_valid=l_valid, nchunks=NC,
+        npack=npack, np_each=NPA,
     )
     outs = pl.pallas_call(
         kernel,
@@ -374,7 +426,7 @@ def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus, l_v
                          memory_space=pltpu.VMEM),                      # dB (per dtile)
             pl.BlockSpec((1, 1, T, NP), lambda bg, d, lc: (d, bg, NC - 1 - lc, 0),
                          memory_space=pltpu.VMEM),                      # dC
-            pl.BlockSpec((1, NP, DT), lambda bg, d, lc: (bg, 0, d),
+            pl.BlockSpec((1, NPA, DT), lambda bg, d, lc: (bg, 0, d),
                          memory_space=pltpu.VMEM),                      # dA (acc over lc)
             pl.BlockSpec((1, 1, DT), lambda bg, d, lc: (bg, 0, d),
                          memory_space=pltpu.VMEM),                      # dD
@@ -386,11 +438,11 @@ def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus, l_v
             _out_sds((BG, LP, DP), delta, u, Bmat, Cmat, dy),
             _out_sds((nd, BG, LP, NP), delta, u, Bmat, Cmat, dy),
             _out_sds((nd, BG, LP, NP), delta, u, Bmat, Cmat, dy),
-            _out_sds((BG, NP, DP), delta, u, Bmat, Cmat, dy),
+            _out_sds((BG, NPA, DP), delta, u, Bmat, Cmat, dy),
             _out_sds((BG, 1, DP), delta, u, Bmat, Cmat, dy),
             _out_sds((BG, 1, DP), delta, u, Bmat, Cmat, dy),
         ],
-        scratch_shapes=[pltpu.VMEM((NP, DT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NPA, DT), jnp.float32)],
         interpret=interpret,
     )(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck)
     ddelta, du, dB, dC, dA, dD, dbias = outs
@@ -405,32 +457,69 @@ def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus, l_v
 # ---------------------------------------------------------------------------
 
 
-def _pad_tm(x, LP, DP):
-    b, l, d = x.shape
-    if l == LP and d == DP:
-        return x
-    return jnp.pad(x, ((0, 0), (0, LP - l), (0, DP - d)))
+def _pack_factor(G: int, DG: int) -> int:
+    """How many groups to pack side by side into one 128-lane row.
+
+    Groups are fully independent per lane, so when DG is below the lane
+    width the padded lanes are pure waste (e.g. medmamba stage 1 has
+    d_inner=64: half the VPU). Pack P groups per row, P = the largest
+    power of two dividing G that fits whole sublane-aligned slots."""
+    slot = _round_up(DG, 8)
+    P = 1
+    while (
+        P * 2 <= G and G % (P * 2) == 0 and (P * 2) * slot <= _LANE
+        and _LANE % (P * 2) == 0
+    ):
+        P *= 2
+    return P
+
+
+def _pack_rows(x, Bsz, Gp, P, L, C, LP, CP):
+    """(Bsz, Gp*P, L, C) -> (Bsz*Gp, LP, P*CP): adjacent groups side by
+    side along the lane axis, each padded to a CP-wide slot."""
+    x = x.reshape(Bsz, Gp, P, L, C).transpose(0, 1, 3, 2, 4)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, LP - L), (0, 0), (0, CP - C)))
+    return x.reshape(Bsz * Gp, LP, P * CP)
 
 
 def _canon(u, delta, A, Bmat, Cmat, D, bias):
-    """Flatten groups and pad to kernel-friendly sizes."""
+    """Flatten groups and pad to kernel-friendly sizes.
+
+    When DG is narrower than the 128-lane tile, P groups are packed side
+    by side per row (see _pack_factor); B/C rows carry the P slots'
+    coefficients concatenated (width P*NP) and the kernel expands them
+    per lane slot (_lane_select)."""
     Bsz, G, L, DG = u.shape
     N = A.shape[1]
     LP = _round_up(L, _CHUNK) if L > _CHUNK else _round_up(L, 8)
-    DP = _round_up(DG, _LANE)
     NP = _round_up(N, 8)
-    BG = Bsz * G
+    P = _pack_factor(G, DG)
+    Gp = G // P
+    DGP = _LANE // P if P > 1 else _round_up(DG, _LANE)
+    DP = P * DGP
+    BG = Bsz * Gp
 
-    u_p = _pad_tm(u.reshape(BG, L, DG), LP, DP)
-    d_p = _pad_tm(delta.reshape(BG, L, DG), LP, DP)
-    B_p = _pad_tm(Bmat.reshape(BG, L, N), LP, NP)
-    C_p = _pad_tm(Cmat.reshape(BG, L, N), LP, NP)
-    # A (G*DG, N) -> (G, NP, DP) transposed per group
-    A_g = A.reshape(G, DG, N).astype(jnp.float32)
-    A_t = jnp.pad(A_g, ((0, 0), (0, DP - DG), (0, NP - N))).transpose(0, 2, 1)
-    D_g = jnp.pad(D.reshape(G, DG).astype(jnp.float32), ((0, 0), (0, DP - DG)))[:, None, :]
-    b_g = jnp.pad(bias.reshape(G, DG).astype(jnp.float32), ((0, 0), (0, DP - DG)))[:, None, :]
-    return u_p, d_p, B_p, C_p, A_t, D_g, b_g, (Bsz, G, L, DG, N, LP, DP, NP)
+    u_p = _pack_rows(u, Bsz, Gp, P, L, DG, LP, DGP)
+    d_p = _pack_rows(delta, Bsz, Gp, P, L, DG, LP, DGP)
+    B_p = _pack_rows(Bmat, Bsz, Gp, P, L, N, LP, NP)
+    C_p = _pack_rows(Cmat, Bsz, Gp, P, L, N, LP, NP)
+    # A (G*DG, N) -> (Gp, NP, DP): slot p of row gp holds group gp*P+p
+    A_g = A.reshape(Gp, P, DG, N).astype(jnp.float32)
+    A_t = (
+        jnp.pad(A_g, ((0, 0), (0, 0), (0, DGP - DG), (0, NP - N)))
+        .transpose(0, 3, 1, 2)
+        .reshape(Gp, NP, DP)
+    )
+    D_g = jnp.pad(
+        D.reshape(Gp, P, DG).astype(jnp.float32), ((0, 0), (0, 0), (0, DGP - DG))
+    ).reshape(Gp, 1, DP)
+    b_g = jnp.pad(
+        bias.reshape(Gp, P, DG).astype(jnp.float32),
+        ((0, 0), (0, 0), (0, DGP - DG)),
+    ).reshape(Gp, 1, DP)
+    return u_p, d_p, B_p, C_p, A_t, D_g, b_g, (
+        Bsz, G, L, DG, N, LP, DP, NP, P, DGP,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -439,40 +528,57 @@ def _scan_tm_pallas(u, delta, A, Bmat, Cmat, D, bias, softplus, interpret):
     return y
 
 
+def _unpack_rows(x, Bsz, Gp, P, L, C, CP):
+    """(Bsz*Gp, LP, P*CP) -> (Bsz, Gp*P, L, C): inverse of _pack_rows."""
+    BGp, LP, _ = x.shape
+    x = x.reshape(Bsz, Gp, LP, P, CP)[:, :, :L, :, :C]
+    return x.transpose(0, 1, 3, 2, 4).reshape(Bsz, Gp * P, L, C)
+
+
 def _scan_tm_pallas_fwd(u, delta, A, Bmat, Cmat, D, bias, softplus, interpret):
     u_p, d_p, B_p, C_p, A_t, D_g, b_g, dims = _canon(u, delta, A, Bmat, Cmat, D, bias)
-    Bsz, G, L, DG, N, LP, DP, NP = dims
+    Bsz, G, L, DG, N, LP, DP, NP, P, DGP = dims
     y_p, hck = _fwd_pallas(
         d_p, u_p, B_p, C_p, A_t, D_g, b_g,
-        softplus=softplus, l_valid=L, interpret=interpret,
+        softplus=softplus, l_valid=L, interpret=interpret, npack=P,
     )
-    y = y_p[:, :L, :DG].reshape(Bsz, G, L, DG)
+    y = _unpack_rows(y_p, Bsz, G // P, P, L, DG, DGP)
     return y, (u, delta, A, Bmat, Cmat, D, bias, hck)
 
 
 def _scan_tm_pallas_bwd(softplus, interpret, res, dy):
     u, delta, A, Bmat, Cmat, D, bias, hck = res
     u_p, d_p, B_p, C_p, A_t, D_g, b_g, dims = _canon(u, delta, A, Bmat, Cmat, D, bias)
-    Bsz, G, L, DG, N, LP, DP, NP = dims
-    dy_p = _pad_tm(dy.reshape(Bsz * G, L, DG).astype(jnp.float32), LP, DP)
+    Bsz, G, L, DG, N, LP, DP, NP, P, DGP = dims
+    Gp = G // P
+    dy_p = _pack_rows(
+        dy.reshape(Bsz, G, L, DG).astype(jnp.float32), Bsz, Gp, P, L, DG, LP, DGP
+    )
     dd_p, du_p, dB_p, dC_p, dA_p, dD_p, dbias_p = _bwd_pallas(
         d_p, u_p, B_p, C_p, A_t, D_g, b_g, dy_p, hck,
-        softplus=softplus, l_valid=L, interpret=interpret,
+        softplus=softplus, l_valid=L, interpret=interpret, npack=P,
     )
-    ddelta = dd_p[:, :L, :DG].reshape(Bsz, G, L, DG).astype(delta.dtype)
-    du = du_p[:, :L, :DG].reshape(Bsz, G, L, DG).astype(u.dtype)
-    dB = dB_p[:, :L, :N].reshape(Bsz, G, L, N).astype(Bmat.dtype)
-    dC = dC_p[:, :L, :N].reshape(Bsz, G, L, N).astype(Cmat.dtype)
-    # dA: (BG, NP, DP) -> sum over batch -> (G, N, DG) -> (G*DG, N)
+    ddelta = _unpack_rows(dd_p, Bsz, Gp, P, L, DG, DGP).astype(delta.dtype)
+    du = _unpack_rows(du_p, Bsz, Gp, P, L, DG, DGP).astype(u.dtype)
+    dB = _unpack_rows(dB_p, Bsz, Gp, P, L, N, NP).astype(Bmat.dtype)
+    dC = _unpack_rows(dC_p, Bsz, Gp, P, L, N, NP).astype(Cmat.dtype)
+    # dA: (BGp, NP, DP) -> sum over batch -> per-slot (Gp, NP, P, DGP)
+    # -> (G, DG, N) -> (G*DG, N)
     dA = (
-        dA_p.reshape(Bsz, G, NP, DP)
-        .sum(0)[:, :N, :DG]
-        .transpose(0, 2, 1)
+        dA_p.reshape(Bsz, Gp, NP, P, DGP)
+        .sum(0)[:, :N, :, :DG]
+        .transpose(0, 2, 3, 1)
         .reshape(G * DG, N)
         .astype(A.dtype)
     )
-    dD = dD_p.reshape(Bsz, G, DP).sum(0)[:, :DG].reshape(G * DG).astype(D.dtype)
-    dbias = dbias_p.reshape(Bsz, G, DP).sum(0)[:, :DG].reshape(G * DG).astype(bias.dtype)
+    dD = (
+        dD_p.reshape(Bsz, Gp, P, DGP).sum(0)[..., :DG].reshape(G * DG)
+        .astype(D.dtype)
+    )
+    dbias = (
+        dbias_p.reshape(Bsz, Gp, P, DGP).sum(0)[..., :DG].reshape(G * DG)
+        .astype(bias.dtype)
+    )
     return du, ddelta, dA, dB, dC, dD, dbias
 
 

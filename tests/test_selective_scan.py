@@ -149,3 +149,38 @@ def test_larger_state_n32(rng):
 
 def test_flops_model():
     assert selective_scan_flops(2, 8, 16, 4) == 9 * 2 * 16 * 8 * 4 + 2 * 2 * 8 * 16
+
+
+@pytest.mark.parametrize(
+    "G,DG,expect_P",
+    [(4, 64, 2), (4, 32, 4), (4, 24, 4), (4, 128, 1), (1, 64, 1)],
+)
+def test_group_lane_packing(rng, G, DG, expect_P):
+    """Narrow-channel groups are packed side by side into the 128-lane
+    tile (P groups/row); fwd and all 7 grads must match the unpacked
+    xla reference. (4, 64) is the medmamba stage-1 shape whose padding
+    previously wasted half the VPU."""
+    from mamba_clip_tpu.ops.selective_scan import _pack_factor
+
+    assert _pack_factor(G, DG) == expect_P
+    args = _inputs(rng, Bsz=1, G=G, L=40, DG=DG, N=16)
+    y_ref = selective_scan_tm(*args, True, impl="xla")
+    y_pal = selective_scan_tm(*args, True, impl="pallas_interpret")
+    np.testing.assert_allclose(y_pal, y_ref, atol=3e-5, rtol=3e-5)
+
+    def loss(impl):
+        def f(*a):
+            y = selective_scan_tm(*a, True, impl=impl)
+            return jnp.sum(jnp.sin(y))
+
+        return f
+
+    g_ref = jax.grad(loss("xla"), argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(loss("pallas_interpret"), argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"],
+                          g_ref, g_pal):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4,
+            err_msg=name,
+        )
