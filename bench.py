@@ -236,9 +236,11 @@ def main():
     if QUANT:
         out["quant"] = QUANT
     secondary = choose_secondary(os.environ.get("BENCH_SECONDARY"), QUANT)
-    if secondary is not None and (secondary or None) != QUANT:
-        sec_rate = measure(secondary or None)
-        out["secondary_quant"] = secondary or "bf16"
+    # BENCH_SECONDARY="" disables outright ("bf16" requests an unquantized
+    # secondary explicitly); only a recipe distinct from the primary runs
+    if secondary and secondary != (QUANT or "bf16"):
+        sec_rate = measure(None if secondary == "bf16" else secondary)
+        out["secondary_quant"] = secondary
         out["secondary_value"] = round(sec_rate, 2)
         out["secondary_vs_baseline"] = round(
             sec_rate / A100_BASELINE_IMG_S, 3)

@@ -27,6 +27,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .utils.logging import get_logger
@@ -52,12 +53,16 @@ def parse_step_checkpoint(path: str):
     return (int(m.group(1)), int(m.group(2))) if m else None
 
 
-def validate_step_resume(path: str, batch_size: int) -> None:
+def validate_step_resume(
+    path: str, batch_size: int, num_batches: Optional[int] = None
+) -> None:
     """Check a step checkpoint's sidecar against this run's loader
     geometry. The stored batch offset is only meaningful under the batch
-    size it was written with — fast-forwarding `m` batches of a different
-    size would silently misalign the epoch, so a mismatch is an error.
-    Checkpoints without a sidecar (older runs) skip the check."""
+    size AND epoch length it was written with — fast-forwarding `m`
+    batches over a different-length index permutation would silently
+    misalign the epoch (some samples seen twice, some never), so a
+    mismatch is an error. Checkpoints without a sidecar (older runs)
+    skip the check; pass ``num_batches=None`` to skip the length check."""
     meta_path = path.rstrip("/") + ".meta.json"
     if not os.path.exists(meta_path):
         return
@@ -72,6 +77,15 @@ def validate_step_resume(path: str, batch_size: int) -> None:
             f"{meta['batch_size']}; resuming at {batch_size} would "
             "fast-forward a different sample offset. Use the original "
             "batch size (or resume from an epoch checkpoint)."
+        )
+    if (num_batches is not None and meta.get("num_batches") is not None
+            and meta["num_batches"] != num_batches):
+        raise ValueError(
+            f"mid-epoch checkpoint {path} was written over an epoch of "
+            f"{meta['num_batches']} batches; this run's epoch has "
+            f"{num_batches} — the dataset changed, so the stored batch "
+            "offset points at different samples. Resume from an epoch "
+            "checkpoint instead."
         )
 
 
@@ -152,6 +166,14 @@ def save_checkpoint(
         "step": int(jax.device_get(state.step)),
         "epoch": epoch,
     }
+    if getattr(state, "loss_scale", None) is not None:
+        # dynamic fp16 GradScaler state (reference checkpoints
+        # scaler.state_dict(), pipeline.py:494-496): without it a resume
+        # would reset to 2^16 and skip steps until backoff re-converges.
+        payload["loss_scale"] = {
+            "scale": float(jax.device_get(state.loss_scale.scale)),
+            "growth_count": int(jax.device_get(state.loss_scale.growth_count)),
+        }
     ckptr = _checkpointer()
     ckptr.wait_until_finished()  # one in-flight save at a time
     if os.path.exists(path):
@@ -182,9 +204,25 @@ def load_checkpoint(path: str, state, allow_partial: bool = False):
         "step": 0,
         "epoch": 0,
     }
+    has_scaler = getattr(state, "loss_scale", None) is not None
+    if has_scaler:
+        template["loss_scale"] = {"scale": 0.0, "growth_count": 0}
     ckptr = _checkpointer()
     try:
-        restored = ckptr.restore(path, template)
+        try:
+            restored = ckptr.restore(path, template)
+        except Exception:
+            if not has_scaler:
+                raise
+            # fp16 run resuming a checkpoint written without scaler state
+            # (older save, or a bf16/fp32 stage feeding an fp16 one):
+            # restore the rest and keep the fresh scaler.
+            template.pop("loss_scale")
+            restored = ckptr.restore(path, template)
+            logger.warning(
+                f"checkpoint {path} has no loss-scale state; starting the "
+                "dynamic fp16 scaler fresh"
+            )
         opt_state = restored["opt_state"]
     except Exception:
         # opt_state tree mismatch — e.g. resuming a TRAINED checkpoint into
@@ -219,6 +257,17 @@ def load_checkpoint(path: str, state, allow_partial: bool = False):
         batch_stats=restored["batch_stats"],
         step=np.asarray(restored["step"], np.int32),
     )
+    if has_scaler and "loss_scale" in restored:
+        from .utils.precision import LossScaleState
+
+        new_state = new_state.replace(
+            loss_scale=LossScaleState(
+                scale=jnp.float32(restored["loss_scale"]["scale"]),
+                growth_count=jnp.int32(
+                    restored["loss_scale"]["growth_count"]
+                ),
+            )
+        )
     # stored epoch is completed_epoch (1-based); the epoch loop is 0-based,
     # so it doubles as the next epoch index (reference: file_utils.py:83-100
     # restores start_epoch = checkpoint["epoch"]).
@@ -342,6 +391,15 @@ def remote_sync(local_dir: str, remote_dir: str, protocol: str = "fsspec") -> bo
                 try:
                     if rfs.exists(rpath) and rfs.size(rpath) == os.path.getsize(lpath):
                         continue
+                except FileNotFoundError:
+                    pass  # probe raced a delete; fall through to upload
+                except Exception as e:
+                    # transient probe flake (HTTP 5xx, auth hiccup):
+                    # upload anyway — put() overwrites, so the worst case
+                    # is re-copying an unchanged file (reference
+                    # file_utils.py:113-118 likewise ignores probe errors)
+                    logger.warning(f"remote probe failed for {rel}: {e}")
+                try:
                     rfs.makedirs(os.path.dirname(rpath), exist_ok=True)
                     rfs.put(lpath, rpath)
                 except FileNotFoundError:

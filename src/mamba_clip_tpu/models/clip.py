@@ -197,7 +197,9 @@ def lock_mask(
             tower, "block", always_prefixes, post_keys
         )
         groups = [stem] + [[b] for b in blocks] + ([post] if post else [])
-        n = max(int(unlocked_tail), 0)
+        # clamp: n > len(groups) means "unlock everything", not a
+        # negative-index wrap that would leave only a tail sliver trainable
+        n = min(max(int(unlocked_tail), 0), len(groups))
         unlocked = set()
         for g in groups[len(groups) - n:] if n else []:
             unlocked.update(g)

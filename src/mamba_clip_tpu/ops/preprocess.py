@@ -225,6 +225,11 @@ def eval_preprocess(
     side = min(H, W)
     ys = (H - side) / 2 + (jnp.arange(out_size) + 0.5) * (side / out_size) - 0.5
     xs = (W - side) / 2 + (jnp.arange(out_size) + 0.5) * (side / out_size) - 0.5
+    # 'random' resolves to bilinear at eval — matching the reference's
+    # EXECUTED line (data.py:101 overwrites the earlier dead BICUBIC
+    # interpolation_mode assignment at data.py:61-66 before the eval pipe
+    # is built), so checkpoints eval identically under --image-interpolation
+    # random in both frameworks.
     interp = "bilinear" if interpolation == "random" else interpolation
     out = jax.vmap(lambda im: _resample(im, ys, xs, interp))(img)
     return _normalize(out, mean, std).astype(out_dtype)

@@ -491,6 +491,11 @@ def _canon(u, delta, A, Bmat, Cmat, D, bias):
     per lane slot (_lane_select)."""
     Bsz, G, L, DG = u.shape
     N = A.shape[1]
+    # Mosaic has no f16 type; f16→f32 is exact and the kernel computes in
+    # fp32 regardless (grads are cast back to the primal dtypes by the VJP)
+    if u.dtype == jnp.float16:
+        u, delta = u.astype(jnp.float32), delta.astype(jnp.float32)
+        Bmat, Cmat = Bmat.astype(jnp.float32), Cmat.astype(jnp.float32)
     LP = _round_up(L, _CHUNK) if L > _CHUNK else _round_up(L, 8)
     NP = _round_up(N, 8)
     P = _pack_factor(G, DG)

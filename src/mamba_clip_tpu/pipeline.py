@@ -324,7 +324,11 @@ def prepare_params(
             start_batch = parsed[1]
             from .checkpoint import validate_step_resume
 
-            validate_step_resume(run.resume_from, args.batch_size)
+            validate_step_resume(
+                run.resume_from, args.batch_size,
+                num_batches=(data["train"].num_batches
+                             if "train" in data else None),
+            )
             logger.info(
                 f"Resumed mid-epoch checkpoint (epoch {start_epoch}, "
                 f"batch {start_batch})"

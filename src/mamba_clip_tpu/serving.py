@@ -136,6 +136,7 @@ def _eval_prep(tcfg, compute_dtype):
 def make_serving_fns(
     model_name: str = "biomedclip",
     *,
+    is_clip: bool = False,
     num_classes: int = 2,
     quant: Optional[str] = None,
     scan_impl: Optional[str] = None,
@@ -163,7 +164,13 @@ def make_serving_fns(
     prep = _eval_prep(tcfg, policy.compute_dtype)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
-    if model_name in (None, "vssm", "medmamba") or "mamba" in str(model_name):
+    # Mamba-family names default to the classifier zoo (the reference's
+    # init_model("medmamba") path); is_clip=True exports the tower entry
+    # points of a VSSM-towered CLIP instead (stage-1 --model medmamba
+    # mirrors models.init_model(..., is_clip=True)).
+    if not is_clip and (
+        model_name in (None, "vssm", "medmamba") or "mamba" in str(model_name)
+    ):
         model = build_classifier(
             model_name, num_classes=num_classes,
             dtype=policy.compute_dtype, quant=quant, scan_impl=scan_impl,

@@ -105,3 +105,48 @@ def test_resume_continues_training(tmp_path, monkeypatch):
     assert m["epoch"] == 2
     ckpt2 = os.path.join(tmp_path, "resume-e2e", "checkpoints", "stage_1_epoch_2")
     assert os.path.isdir(ckpt2)
+
+
+def _fp16_state():
+    from mamba_clip_tpu.utils.precision import get_policy
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+    tx = optax.adam(1e-3)
+    return create_train_state(params, tx, {}, policy=get_policy("fp16")), tx
+
+
+def test_scaler_state_roundtrips(tmp_path):
+    """Dynamic fp16 loss-scale state survives save/resume (the reference
+    checkpoints scaler.state_dict(), pipeline.py:494-496); without it a
+    resume resets to 2^16 and skips steps until backoff re-converges."""
+    from mamba_clip_tpu.utils.precision import LossScaleState
+
+    state, _ = _fp16_state()
+    state = state.replace(loss_scale=LossScaleState(
+        scale=jnp.float32(2.0**10), growth_count=jnp.int32(37)))
+    path = save_checkpoint(str(tmp_path), state, epoch=1,
+                           name="stage_1_epoch_1")
+    wait_for_checkpoints()
+
+    fresh, _ = _fp16_state()
+    assert float(fresh.loss_scale.scale) == 2.0**16
+    restored, _ = load_checkpoint(path, fresh)
+    assert float(restored.loss_scale.scale) == 2.0**10
+    assert int(restored.loss_scale.growth_count) == 37
+
+
+def test_scaler_resume_from_scalerless_checkpoint(tmp_path):
+    """An fp16 run resuming a checkpoint written without scaler state
+    (bf16 stage, or an older save) keeps a fresh scaler instead of
+    failing the restore."""
+    state, _ = _tiny_state()  # no policy -> no loss_scale in the payload
+    path = save_checkpoint(str(tmp_path), state, epoch=2,
+                           name="stage_1_epoch_2")
+    wait_for_checkpoints()
+
+    fresh, _ = _fp16_state()
+    restored, start_epoch = load_checkpoint(path, fresh)
+    assert start_epoch == 2
+    assert float(restored.loss_scale.scale) == 2.0**16
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"]))

@@ -378,3 +378,13 @@ def test_attn_remat_is_numerically_transparent():
     l1, g1 = jax.value_and_grad(lambda im: loss(remat, im))(img)
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5)
+
+
+def test_lock_groups_overflow_unlocks_everything(deep_clip):
+    """unlocked_groups beyond the group count means 'unlock all', not a
+    negative-index wrap that leaves only the tail group trainable."""
+    _, variables = deep_clip
+    mask = lock_mask(variables, lock_image=True,
+                     lock_image_unlocked_groups=99)
+    leaves = jax.tree_util.tree_leaves(mask["params"]["visual"])
+    assert all(leaves)

@@ -396,3 +396,23 @@ def test_http_serving_host(tmp_path):
             assert "entry points" in json.loads(e.read())["error"]
     finally:
         srv.shutdown()
+
+
+def test_medmamba_clip_tower_export():
+    """is_clip=True routes a mamba-family name to the CLIP tower entry
+    points (a stage-1 '--model medmamba' run trains a VSSM-towered CLIP;
+    without the flag the name resolves to the classifier zoo)."""
+    _, _, fns_cls, _ = make_serving_fns(
+        "medmamba", image_size=32, precision="fp32")
+    assert set(fns_cls) == {"classify"}
+
+    model, variables, fns, meta = make_serving_fns(
+        "medmamba", is_clip=True, image_size=32, context_length=16,
+        vocab_size=64, precision="fp32")
+    assert set(fns) == {"image_embed", "text_embed"}
+    s = meta["staging_size"]
+    img = np.random.default_rng(0).integers(
+        0, 255, (2, s, s, 3), dtype=np.uint8)
+    emb = np.asarray(fns["image_embed"](variables, jnp.asarray(img)))
+    np.testing.assert_allclose(
+        np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)

@@ -272,8 +272,13 @@ def test_batch_size_mismatch_rejected(tmp_path):
     assert os.path.exists(path + ".meta.json")
 
     validate_step_resume(path, 8)  # same geometry: fine
+    validate_step_resume(path, 8, num_batches=6)
     with pytest.raises(ValueError, match="batch-size 8"):
         validate_step_resume(path, 16)
+    # a changed dataset length (different epoch permutation) is also a
+    # hard error: the stored offset points at different samples
+    with pytest.raises(ValueError, match="6 batches"):
+        validate_step_resume(path, 8, num_batches=9)
     # checkpoints without a sidecar (older runs) skip the check
     os.remove(path + ".meta.json")
     validate_step_resume(path, 16)

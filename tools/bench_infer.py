@@ -35,6 +35,7 @@ Output: one JSON line per scenario.
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -155,7 +156,7 @@ def main():
             out = call()
         val = float(out)  # barrier: serialized on-device queue drains here
         dt = time.perf_counter() - t0
-        assert val == val, f"non-finite output in {name}"
+        assert math.isfinite(val), f"non-finite output in {name}"
         print(json.dumps({
             "metric": f"infer_{name}_images_per_sec_per_chip",
             "value": round(BATCH * STEPS / dt, 2),

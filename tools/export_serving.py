@@ -52,13 +52,19 @@ def main():
                    help="selective-scan impl for VSSM exports: default "
                         "(per-backend), or 'xla' for a portable artifact "
                         "(Pallas/Mosaic lowering needs a TPU host)")
+    p.add_argument("--clip", action="store_true",
+                   help="export CLIP tower entry points (image_embed/"
+                        "text_embed) for mamba-family names, which "
+                        "otherwise resolve to the classifier zoo — use "
+                        "for a stage-1 '--model medmamba' run's "
+                        "VSSM-towered CLIP checkpoint")
     a = p.parse_args()
 
     from mamba_clip_tpu.serving import export_serving, make_serving_fns
 
     kw = dict(quant=a.quant, num_classes=a.num_classes,
               image_size=a.image_size, context_length=a.context_length,
-              precision=a.precision, scan_impl=a.scan_impl)
+              precision=a.precision, scan_impl=a.scan_impl, is_clip=a.clip)
 
     variables = None
     if a.checkpoint:
