@@ -416,3 +416,79 @@ def test_medmamba_clip_tower_export():
     emb = np.asarray(fns["image_embed"](variables, jnp.asarray(img)))
     np.testing.assert_allclose(
         np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+
+def test_http_host_microbatching(tmp_path):
+    """Concurrent requests coalesce into shared device calls (the
+    MicroBatcher): all clients get their own correct embedding, and the
+    /healthz batching counters show fewer batches than requests."""
+    import importlib.util
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    out = str(tmp_path / "art")
+    export_serving(out, "biomedclip", **_tiny_clip_kw())
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_http_tool2",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "serve_http.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    # generous delay so concurrent clients land in one batch
+    srv = tool.make_server(out, port=0, max_batch=16, max_delay_ms=300.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(0)
+        blobs = []
+        for i in range(6):
+            buf = __import__("io").BytesIO()
+            Image.fromarray(rng.integers(0, 256, (40, 56, 3),
+                                         dtype=np.uint8)).save(
+                buf, format="JPEG")
+            blobs.append(buf.getvalue())
+
+        results = [None] * len(blobs)
+
+        def post(i):
+            req = urllib.request.Request(
+                f"{base}/embed_image", data=blobs[i], method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[i] = np.asarray(json.loads(r.read())["embedding"])
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(blobs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        # every client got a distinct, correct, normalized embedding —
+        # reference through the SAME decode path the host uses (native
+        # libjpeg with PIL fallback; the two decoders differ per-pixel)
+        import io as _io
+
+        from mamba_clip_tpu.data import fastimage
+        from mamba_clip_tpu.data.dataset import _decode_to_square
+
+        loaded = load_serving(out)
+        staging = int(loaded["manifest"]["staging_size"])
+        for i, blob in enumerate(blobs):
+            img = fastimage.decode_resize(blob, staging)
+            if img is None:
+                img = _decode_to_square(Image.open(_io.BytesIO(blob)),
+                                        staging)
+            direct = np.asarray(loaded["image_embed"](img[None]))[0]
+            np.testing.assert_allclose(results[i], direct, atol=2e-3,
+                                       err_msg=f"request {i}")
+
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            stats = json.loads(r.read())["batching"]["image_embed"]
+        assert stats["requests"] == len(blobs)
+        assert stats["batches"] < stats["requests"], stats
+    finally:
+        srv.shutdown()

@@ -21,13 +21,19 @@ JPEG decode runs the same native libjpeg fast path as training
 artifact's fused on-device eval preprocess expects — the wire format is
 identical to the training data path.
 
-This is the demo host: single-request batches, blocking dispatch. A
-production fleet hands the same StableHLO to a PjRT runtime behind a
-real frontend (and would batch across requests); the artifact's
-symbolic batch dimension supports that without re-export.
+Concurrent requests are coalesced into one device call per entry point
+(``MicroBatcher``): the dispatcher collects up to ``--max-batch`` rows
+or waits ``--max-delay-ms`` after the first arrival, pads the stacked
+batch to the next power of two (so the artifact's symbolic batch dim
+compiles a bounded set of shapes), runs once, and fans results back out
+through per-request futures. ``--max-batch 1`` restores blocking
+single-request dispatch. A production fleet hands the same StableHLO to
+a PjRT runtime behind a real frontend; the batching policy here is the
+same shape that frontend would implement.
 
 Usage:
-    python tools/serve_http.py --artifact DIR [--port 8000]
+    python tools/serve_http.py --artifact DIR [--port 8000] \
+        [--max-batch 16] [--max-delay-ms 5]
     curl -s -X POST --data-binary @lesion.jpg :8000/embed_image
 """
 
@@ -37,18 +43,86 @@ import argparse
 import io
 import json
 import os
+import queue
 import sys
+import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent row-batches into one device call.
+
+    Items are arrays with a leading batch dim (k >= 1 rows). The
+    dispatcher thread concatenates queued items (up to ``max_batch``
+    total rows, waiting at most ``max_delay_ms`` after the first), pads
+    to the next power-of-two row count, runs ``fn`` once and splits the
+    output back per request. Exceptions propagate to every coalesced
+    caller."""
+
+    def __init__(self, fn, max_batch: int = 16, max_delay_ms: float = 5.0):
+        self.fn = fn
+        self.max_batch = max(int(max_batch), 1)
+        self.max_delay = max(float(max_delay_ms), 0.0) / 1e3
+        self.q: "queue.Queue" = queue.Queue()
+        self.requests = 0
+        self.batches = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def __call__(self, item: np.ndarray) -> np.ndarray:
+        fut: Future = Future()
+        self.q.put((np.asarray(item), fut))
+        return fut.result(timeout=120.0)
+
+    def _loop(self):
+        while True:
+            batch = [self.q.get()]
+            rows = batch[0][0].shape[0]
+            deadline = time.monotonic() + self.max_delay
+            while rows < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=left)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                rows += nxt[0].shape[0]
+            items = np.concatenate([b[0] for b in batch], axis=0)
+            n = items.shape[0]
+            m = 1 << (n - 1).bit_length()  # pad: bounded compile shapes
+            if m != n:
+                items = np.concatenate(
+                    [items, np.repeat(items[-1:], m - n, axis=0)], axis=0)
+            try:
+                out = np.asarray(self.fn(items))
+                self.batches += 1
+                self.requests += len(batch)
+                off = 0
+                for arr, fut in batch:
+                    k = arr.shape[0]
+                    fut.set_result(out[off:off + k])
+                    off += k
+            except Exception as e:  # fan the failure out to every caller
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "src"))
 
 
-def make_server(artifact: str, port: int = 0, host: str = "127.0.0.1"):
-    """Build (not start) a ThreadingHTTPServer over the artifact dir."""
-    import jax.numpy as jnp
+def make_server(artifact: str, port: int = 0, host: str = "127.0.0.1",
+                max_batch: int = 16, max_delay_ms: float = 5.0):
+    """Build (not start) a ThreadingHTTPServer over the artifact dir.
+
+    ``max_batch``/``max_delay_ms`` tune the cross-request MicroBatcher;
+    ``max_batch=1`` dispatches each request directly."""
 
     from mamba_clip_tpu.data import fastimage
     from mamba_clip_tpu.data.dataset import _decode_to_square
@@ -66,6 +140,17 @@ def make_server(artifact: str, port: int = 0, host: str = "127.0.0.1"):
     served = load_serving(artifact)
     manifest = served["manifest"]
     staging = int(manifest["staging_size"])
+
+    if max_batch > 1:
+        batchers = {
+            name: MicroBatcher(served[name], max_batch, max_delay_ms)
+            for name in ("image_embed", "text_embed", "classify")
+            if name in served
+        }
+    else:
+        batchers = {name: served[name]
+                    for name in ("image_embed", "text_embed", "classify")
+                    if name in served}
 
     def decode(blob: bytes) -> np.ndarray:
         out = fastimage.decode_resize(blob, staging)
@@ -86,7 +171,13 @@ def make_server(artifact: str, port: int = 0, host: str = "127.0.0.1"):
 
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path == "/healthz":
-                self._json(200, {"status": "ok", "manifest": manifest})
+                stats = {
+                    name: {"requests": b.requests, "batches": b.batches}
+                    for name, b in batchers.items()
+                    if isinstance(b, MicroBatcher)
+                }
+                self._json(200, {"status": "ok", "manifest": manifest,
+                                 "batching": stats})
             else:
                 self._json(404, {"error": f"no handler for GET {self.path}"})
 
@@ -95,17 +186,17 @@ def make_server(artifact: str, port: int = 0, host: str = "127.0.0.1"):
             body = self.rfile.read(n)
             try:
                 if self.path == "/embed_image" and "image_embed" in served:
-                    img = jnp.asarray(decode(body)[None])
-                    out = np.asarray(served["image_embed"](img))[0]
+                    out = np.asarray(
+                        batchers["image_embed"](decode(body)[None]))[0]
                     self._json(200, {"embedding": out.tolist()})
                 elif self.path == "/embed_text" and "text_embed" in served:
                     texts = json.loads(body)["texts"]
-                    ids = served["tokenize"](texts)
-                    out = np.asarray(served["text_embed"](jnp.asarray(ids)))
+                    ids = np.asarray(served["tokenize"](texts))
+                    out = np.asarray(batchers["text_embed"](ids))
                     self._json(200, {"embeddings": out.tolist()})
                 elif self.path == "/classify" and "classify" in served:
-                    img = jnp.asarray(decode(body)[None])
-                    probs = np.asarray(served["classify"](img))[0]
+                    probs = np.asarray(
+                        batchers["classify"](decode(body)[None]))[0]
                     self._json(200, {"probs": probs.tolist()})
                 else:
                     self._json(
@@ -127,8 +218,15 @@ def main():
                    help="exported serving dir (tools/export_serving.py)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--max-batch", type=int, default=16,
+                   help="max rows coalesced into one device call "
+                        "(1 = dispatch each request directly)")
+    p.add_argument("--max-delay-ms", type=float, default=5.0,
+                   help="max wait after the first queued request before "
+                        "dispatching a partial batch")
     a = p.parse_args()
-    srv = make_server(a.artifact, port=a.port, host=a.host)
+    srv = make_server(a.artifact, port=a.port, host=a.host,
+                      max_batch=a.max_batch, max_delay_ms=a.max_delay_ms)
     print(f"serving {a.artifact} on http://{a.host}:{srv.server_address[1]}",
           flush=True)
     srv.serve_forever()
