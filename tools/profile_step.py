@@ -38,6 +38,9 @@ def main():
     p.add_argument("--top", type=int, default=15)
     p.add_argument("--trace-dir", default=None,
                    help="keep the raw trace here (default: temp dir)")
+    p.add_argument("--grep", default=None,
+                   help="also list the hottest ops whose name matches this "
+                        "regex, with their HLO definition lines")
     a = p.parse_args()
 
     import jax
@@ -77,6 +80,22 @@ def main():
     print(format_attribution(
         rows, [(n, us / a.steps / 1e3) for n, us in top], hlo_text=hlo
     ))
+    if a.grep:
+        import re
+
+        from mamba_clip_tpu.utils.profiling import _hlo_defs
+        defs = _hlo_defs(hlo)
+        pat = re.compile(a.grep)
+        matched = [(n, us) for n, us in times.items() if pat.search(n)]
+        matched.sort(key=lambda kv: -kv[1])
+        print(f"\nhottest ops matching /{a.grep}/ "
+              f"(total {sum(us for _, us in matched) / a.steps / 1e3:.2f} "
+              f"ms/step over {len(matched)} ops):")
+        for n, us in matched[: a.top]:
+            print(f"{us / a.steps / 1e3:9.3f}  {n}")
+            d = defs.get(n, "")
+            if d:
+                print(f"           = {d[:160]}")
     if a.trace_dir is None:
         shutil.rmtree(trace_dir, ignore_errors=True)
     else:
