@@ -67,6 +67,37 @@ def test_parse_types():
     assert a.image_mean == [0.5, 0.5, 0.5]
 
 
+def test_reference_readme_commands_parse_verbatim():
+    """The reference README's published invocations (reference:
+    README.md:32 quick-start, README.md:63 flagship recipe) must parse
+    unchanged — a user switching frameworks reuses their command line."""
+    a = parse_args([
+        "--data-path", "<path_to_data>", "--logs", "./logs/",
+        "--batch-size", "64", "--epochs", "10",
+    ])
+    assert a.data_path == "<path_to_data>"
+    assert (a.logs, a.batch_size, a.epochs) == ("./logs/", 64, 10)
+
+    a = parse_args([
+        "--data-path", "./data/isic-2024-challenge/", "--logs", "./logs/",
+        "--batch-size", "64", "--epochs", "10", "--lr", "1e-4",
+        "--precision", "amp",
+        "--model-stage-1",
+        "microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224",
+        "--model-stage-2", "ClipClassifier",
+        "--tokenizer",
+        "hf-hub:microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224",
+    ])
+    assert a.data_path == "./data/isic-2024-challenge/"
+    assert a.lr == pytest.approx(1e-4)
+    assert a.precision == "amp"
+    assert a.model_stage_1 == (
+        "microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224")
+    assert a.model_stage_2 == "ClipClassifier"
+    assert a.tokenizer == (
+        "hf-hub:microsoft/BiomedCLIP-PubMedBERT_256-vit_base_patch16_224")
+
+
 def test_dump_and_replace(tmp_path):
     a = Args(seed=3)
     b = a.replace(seed=5)
