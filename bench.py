@@ -155,7 +155,8 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
     schedule = create_schedule(args, 10_000)
     tx = build_optimizer(args, schedule)
     state = create_train_state(
-        variables["params"], tx, variables.get("batch_stats", {})
+        variables["params"], tx, variables.get("batch_stats", {}),
+        quant_stats=variables.get("quant", {}),
     )
 
     step_fn = jax.jit(
@@ -208,12 +209,14 @@ def choose_secondary(env_value, quant):
 
     BENCH_SECONDARY set → honor it ("" disables). Unset with an
     unquantized primary → default to the fastest opt-in quantized recipe
-    (`--quant int8_fast`, PERF.md round-3) so the one JSON line carries
-    both the reference-numerics bf16 number and the quantized number.
+    (`--quant int8_delayed`, PERF.md round-3: 501.8 img/s vs int8_fast's
+    480.7, and the tightest loss-trajectory parity of the int8 modes) so
+    the one JSON line carries both the reference-numerics bf16 number
+    and the quantized number.
     """
     if env_value is not None:
         return env_value
-    return "int8_fast" if quant is None else None
+    return "int8_delayed" if quant is None else None
 
 
 def main():

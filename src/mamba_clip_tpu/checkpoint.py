@@ -174,6 +174,10 @@ def save_checkpoint(
             "scale": float(jax.device_get(state.loss_scale.scale)),
             "growth_count": int(jax.device_get(state.loss_scale.growth_count)),
         }
+    if getattr(state, "quant_stats", None):
+        # --quant int8_delayed absmax state: a resume must quantize with
+        # the same scales the interrupted run would have used.
+        payload["quant_stats"] = jax.device_get(state.quant_stats)
     ckptr = _checkpointer()
     ckptr.wait_until_finished()  # one in-flight save at a time
     if os.path.exists(path):
@@ -207,21 +211,26 @@ def load_checkpoint(path: str, state, allow_partial: bool = False):
     has_scaler = getattr(state, "loss_scale", None) is not None
     if has_scaler:
         template["loss_scale"] = {"scale": 0.0, "growth_count": 0}
+    has_quant = bool(getattr(state, "quant_stats", None))
+    if has_quant:
+        template["quant_stats"] = jax.device_get(state.quant_stats)
     ckptr = _checkpointer()
     try:
         try:
             restored = ckptr.restore(path, template)
         except Exception:
-            if not has_scaler:
+            if not (has_scaler or has_quant):
                 raise
-            # fp16 run resuming a checkpoint written without scaler state
-            # (older save, or a bf16/fp32 stage feeding an fp16 one):
-            # restore the rest and keep the fresh scaler.
-            template.pop("loss_scale")
+            # run resuming a checkpoint written without the optional
+            # subtrees (older save, or a stage trained under a different
+            # precision/quant mode): restore the rest and keep the fresh
+            # scaler / init-calibrated quant scales.
+            template.pop("loss_scale", None)
+            template.pop("quant_stats", None)
             restored = ckptr.restore(path, template)
             logger.warning(
-                f"checkpoint {path} has no loss-scale state; starting the "
-                "dynamic fp16 scaler fresh"
+                f"checkpoint {path} is missing loss-scale and/or quant "
+                "state; starting those fresh"
             )
         opt_state = restored["opt_state"]
     except Exception:
@@ -256,6 +265,7 @@ def load_checkpoint(path: str, state, allow_partial: bool = False):
         opt_state=opt_state,
         batch_stats=restored["batch_stats"],
         step=np.asarray(restored["step"], np.int32),
+        quant_stats=restored.get("quant_stats", state.quant_stats),
     )
     if has_scaler and "loss_scale" in restored:
         from .utils.precision import LossScaleState

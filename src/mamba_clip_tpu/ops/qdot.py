@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 from jax import lax
 
 _EPS = 1e-6
@@ -267,6 +268,85 @@ def _serve_bwd(res, g):
 
 int8_serve_dot.defvjp(_serve_fwd, _serve_bwd)
 
+# ---------------------------------------------------------------------------
+# Delayed scaling (``--quant int8_delayed``)
+# ---------------------------------------------------------------------------
+#
+# int8_fast still pays a structural tax: each tensor's absmax must finish
+# before its quantize can start, so XLA runs quantization as a separate
+# full-tensor read+write pass after the producer (measured ~11.7 ms/step
+# of s8-materialization fusions plus the absmax reads, PERF.md "int8_fast
+# step profile"). Delayed scaling — the standard FP8-training recipe,
+# applied here to int8 — breaks that dependency: quantize with the
+# PREVIOUS step's scale (carried as model state in a ``quant`` variable
+# collection), and record this step's absmax as a write-only by-product
+# for the next step. With no amax→quantize edge, XLA fuses the quantize
+# into each tensor's producer and the separate pass disappears
+# (feasibility ceiling measured at +9.5 ms/step,
+# tools/quant_static_scale_probe.py).
+#
+# Semantics: scales lag one step. Values that outgrow the previous
+# step's absmax clip at ±127 for one step; absmax moves slowly during
+# training, and the cotangent (whose magnitude swings with the loss)
+# keeps DYNAMIC calibration — its quantize lives in the backward pass
+# where it fuses differently. Scale state initializes from the
+# ``model.init`` batch and can be refreshed on real data with
+# ``train.calibrate_quant_state`` (the pipeline does this automatically
+# on the first batch of a fresh run).
+
+
+def _fresh_amax(x: jax.Array) -> jax.Array:
+    return jnp.maximum(
+        jnp.max(jnp.abs(lax.stop_gradient(x).astype(jnp.float32))), _EPS
+    )
+
+
+@jax.custom_vjp
+def int8_delayed_dot(lhs, rhs, sl, sr):
+    """int8 Dense dot with caller-provided (delayed) scales.
+
+    Forward quantizes with ``sl``/``sr`` as-is; backward reuses the int8
+    residuals with DYNAMIC cotangent calibration (like int8_fast) and
+    returns zero cotangents for the scales (straight-through treats
+    quantization as identity, so scales carry no gradient).
+    """
+    out, _ = _delayed_fwd(lhs, rhs, sl, sr)
+    return out
+
+
+def _delayed_fwd(lhs, rhs, sl, sr):
+    ql, qr = _quantize(lhs, sl), _quantize(rhs, sr)
+    acc = lax.dot_general(
+        ql, qr, (((lhs.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    out = (acc.astype(jnp.float32) * (sl * sr)).astype(out_dtype)
+    res = (ql, sl, qr, sr,
+           jnp.zeros((0,), lhs.dtype), jnp.zeros((0,), rhs.dtype))
+    return out, res
+
+
+def _delayed_bwd(res, g):
+    ql, sl, qr, sr, lhs_proto, rhs_proto = res
+    sg = _absmax_scale(g)
+    qg = _quantize(g, sg)
+    dl = lax.dot_general(
+        qg, qr, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dlhs = (dl.astype(jnp.float32) * (sg * sr)).astype(lhs_proto.dtype)
+    batch_axes = tuple(range(g.ndim - 1))
+    dr = lax.dot_general(
+        ql, qg, ((batch_axes, batch_axes), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    drhs = (dr.astype(jnp.float32) * (sl * sg)).astype(rhs_proto.dtype)
+    return dlhs, drhs, jnp.zeros_like(sl), jnp.zeros_like(sr)
+
+
+int8_delayed_dot.defvjp(_delayed_fwd, _delayed_bwd)
+
 _DENSE_PATTERN = "flax Dense contraction (((lhs.ndim-1,), (0,)), ((), ()))"
 
 
@@ -299,6 +379,46 @@ class Int8FastDotGeneral(_DenseDotGeneral):
     """Shared-calibration int8 training dot (``--quant int8_fast``)."""
 
     _dot = staticmethod(int8_dense_dot)
+
+
+class Int8DelayedDotGeneral(nn.Module):
+    """Delayed-scaling int8 training dot (``--quant int8_delayed``).
+
+    A *stateful* flax ``dot_general_cls`` injection (the same mechanism
+    AQT uses): each Dense instantiates one as a submodule, which carries
+    per-tensor absmax state in the ``quant`` variable collection. The
+    forward quantizes with the stored (previous-step) scales — no
+    amax→quantize dependency, so XLA fuses the quantize into each
+    tensor's producer — and records this step's absmax for the next
+    step when the collection is mutable (training); eval/serving applies
+    read the stored scales without writing.
+
+    State initializes from whatever batch ``model.init`` sees; refresh
+    on real data with ``train.calibrate_quant_state``.
+    """
+
+    @nn.compact
+    def __call__(self, lhs, rhs, dimension_numbers, precision=None,
+                 preferred_element_type=None):
+        (lc, rc), (lb, rb) = dimension_numbers
+        if (tuple(lc), tuple(rc), tuple(lb), tuple(rb)) != \
+                ((lhs.ndim - 1,), (0,), (), ()):
+            raise NotImplementedError(
+                f"Int8DelayedDotGeneral supports only the {_DENSE_PATTERN}; "
+                f"got {dimension_numbers}"
+            )
+        fresh_l, fresh_r = _fresh_amax(lhs), _fresh_amax(rhs)
+        amax_l = self.variable("quant", "amax_lhs", lambda: fresh_l)
+        amax_r = self.variable("quant", "amax_rhs", lambda: fresh_r)
+        sl = amax_l.value / 127.0
+        sr = amax_r.value / 127.0
+        out = int8_delayed_dot(lhs, rhs, sl, sr)
+        if not self.is_initializing() and self.is_mutable_collection("quant"):
+            amax_l.value = fresh_l
+            amax_r.value = fresh_r
+        if preferred_element_type is not None:
+            out = out.astype(preferred_element_type)
+        return out
 
 
 class Int8ServeDotGeneral(_DenseDotGeneral):

@@ -23,7 +23,8 @@ from __future__ import annotations
 import functools
 from typing import Any, Optional
 
-_VALID = ("int8", "int8_fwd", "int8_fast", "int8_fast_attn", "int8_serve")
+_VALID = ("int8", "int8_fwd", "int8_fast", "int8_fast_attn", "int8_delayed",
+          "int8_serve")
 
 
 def attn_int8(quant) -> bool:
@@ -48,6 +49,13 @@ def make_dot_general_cls(quant: Optional[str]) -> Any:
         # through int8 (see attn_int8 / models FusedAttention).
         from .qdot import Int8FastDotGeneral
         return Int8FastDotGeneral
+    if quant == "int8_delayed":
+        # Stateful delayed-scaling dot (ops/qdot.py): quantizes with the
+        # previous step's scales carried in the "quant" variable
+        # collection, so the quantize pass fuses into each tensor's
+        # producer (FP8-style delayed scaling, applied to int8).
+        from .qdot import Int8DelayedDotGeneral
+        return Int8DelayedDotGeneral
     if quant == "int8_serve":
         # Forward-optimized serving dot: per-output-channel weight scales
         # (finer than training can afford — see ops/qdot.py), bf16

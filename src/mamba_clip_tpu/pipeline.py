@@ -221,6 +221,7 @@ def prepare_params(
     class_weights=None,
     init_params=None,
     init_batch_stats=None,
+    init_quant_stats=None,
 ):
     """Model/optimizer/schedule/state assembly (reference:
     pipeline.py:205-408). Returns everything `step` needs."""
@@ -244,6 +245,9 @@ def prepare_params(
             variables = model.init({"params": rng, "dropout": rng}, img)
         init_params = variables["params"]
         init_batch_stats = variables.get("batch_stats", {})
+        # --quant int8_delayed absmax state; re-anchored on the first real
+        # batch by train_one_epoch's calibration pass
+        init_quant_stats = variables.get("quant", {})
         if getattr(args, "pretrained", None) and "visual" in init_params:
             # converted open_clip weights (tools/convert_weights.py) — the
             # TPU analog of the reference's hub-pretrained start
@@ -294,7 +298,8 @@ def prepare_params(
     if frozen:
         mask = merge_masks(mask, freeze_submodule_mask(init_params, frozen))
     tx = build_optimizer(args, schedule, trainable_mask=mask)
-    state = create_train_state(init_params, tx, init_batch_stats, policy=policy)
+    state = create_train_state(init_params, tx, init_batch_stats,
+                               policy=policy, quant_stats=init_quant_stats)
 
     # Place state on the mesh: replicated under pure DP (the reference's
     # mode); fsdp/model axes >1 shard params AND optimizer moments

@@ -159,6 +159,13 @@ def make_serving_fns(
     from .models import build_classifier, build_clip
     from .utils.precision import get_policy
 
+    if quant == "int8_delayed":
+        raise ValueError(
+            "--quant int8_delayed is a TRAINING mode (its scales live in "
+            "mutable model state); export serving artifacts with "
+            "--quant int8_serve (per-channel weight scales) instead — "
+            "checkpoints trained under int8_delayed load fine either way"
+        )
     policy = get_policy(precision)
     tcfg = get_transform_config(None, image_size, is_train=False)
     prep = _eval_prep(tcfg, policy.compute_dtype)

@@ -69,15 +69,21 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any = struct.field(default_factory=dict)
     # GradScaler-equivalent state; None unless the policy is dynamic (fp16)
     loss_scale: Any = None
+    # --quant int8_delayed per-tensor absmax state (the "quant" variable
+    # collection; empty for every other mode)
+    quant_stats: Any = struct.field(default_factory=dict)
 
     def variables(self):
         v = {"params": self.params}
         if self.batch_stats:
             v["batch_stats"] = self.batch_stats
+        if self.quant_stats:
+            v["quant"] = self.quant_stats
         return v
 
 
-def create_train_state(params, tx, batch_stats=None, policy=None) -> TrainState:
+def create_train_state(params, tx, batch_stats=None, policy=None,
+                       quant_stats=None) -> TrainState:
     from .utils.precision import init_loss_scale
 
     return TrainState(
@@ -89,7 +95,33 @@ def create_train_state(params, tx, batch_stats=None, policy=None) -> TrainState:
             init_loss_scale(policy.loss_scale)
             if policy is not None and policy.dynamic_loss_scale else None
         ),
+        quant_stats=quant_stats or {},
     )
+
+
+def _mutable_apply(model, params, batch_stats, quant_stats, *inputs,
+                   rngs, **kw):
+    """model.apply with the mutable state collections threaded through.
+
+    Returns (out, new_batch_stats, new_quant_stats). Collections that are
+    empty stay out of the apply entirely (no mutable overhead for the
+    common no-BN/no-delayed-quant models)."""
+    variables = {"params": params}
+    mutable = []
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        mutable.append("batch_stats")
+    if quant_stats:
+        variables["quant"] = quant_stats
+        mutable.append("quant")
+    if mutable:
+        out, mut = model.apply(
+            variables, *inputs, rngs=rngs, mutable=mutable, **kw
+        )
+        return (out, mut.get("batch_stats", batch_stats),
+                mut.get("quant", quant_stats))
+    return model.apply(variables, *inputs, rngs=rngs, **kw), batch_stats, \
+        quant_stats
 
 
 def _clamp_logit_scale(params):
@@ -115,7 +147,7 @@ def _mixup(rng, args, images, tokens, targets, mix_images, mix_tokens, mix_targe
 
 
 def _finish_step(state: TrainState, grads, new_stats, tx, s, dynamic: bool,
-                 clamp: bool):
+                 clamp: bool, new_quant=None):
     """Unscale grads by ``s`` and apply the optimizer update.
 
     Static path: plain update. Dynamic path (fp16 GradScaler parity,
@@ -127,6 +159,8 @@ def _finish_step(state: TrainState, grads, new_stats, tx, s, dynamic: bool,
 
     if not (isinstance(s, float) and s == 1.0):  # keep the HLO clean at ls=1
         grads = jax.tree_util.tree_map(lambda g: g / s, grads)
+    if new_quant is None:
+        new_quant = state.quant_stats
     gnorm = optax.global_norm(grads)
     if not dynamic:
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -135,7 +169,7 @@ def _finish_step(state: TrainState, grads, new_stats, tx, s, dynamic: bool,
             new_params = _clamp_logit_scale(new_params)
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt,
-            batch_stats=new_stats,
+            batch_stats=new_stats, quant_stats=new_quant,
         )
         return new_state, grads, {"grad_norm": gnorm}
     finite = jnp.isfinite(gnorm)
@@ -149,11 +183,15 @@ def _finish_step(state: TrainState, grads, new_stats, tx, s, dynamic: bool,
     if clamp:
         new_params = _clamp_logit_scale(new_params)
     sel = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
+    # batch_stats and quant amaxes are forward-pass observations — they
+    # update even on a skipped step (matches torch: BN stats move during
+    # the forward regardless of the scaler's skip decision)
     new_state = state.replace(
         step=state.step + 1,
         params=jax.tree_util.tree_map(sel, new_params, state.params),
         opt_state=jax.tree_util.tree_map(sel, new_opt, state.opt_state),
         batch_stats=new_stats,
+        quant_stats=new_quant,
         loss_scale=update_loss_scale(state.loss_scale, finite),
     )
     return new_state, grads, {
@@ -222,19 +260,11 @@ def make_clip_train_step(
         and int(np.prod(list(mesh.shape.values()))) > 1
     )
 
-    def encode(params, batch_stats, images, tokens, rngs):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            out, mut = model.apply(
-                variables, image=images, text=tokens, deterministic=False,
-                rngs=rngs, mutable=["batch_stats"],
-            )
-            return out, mut.get("batch_stats", {})
-        out = model.apply(
-            variables, image=images, text=tokens, deterministic=False, rngs=rngs
+    def encode(params, batch_stats, quant_stats, images, tokens, rngs):
+        return _mutable_apply(
+            model, params, batch_stats, quant_stats,
+            image=images, text=tokens, deterministic=False, rngs=rngs,
         )
-        return out, batch_stats
 
     def contrastive(out):
         if use_shardmap:
@@ -296,10 +326,13 @@ def make_clip_train_step(
 
         if accum == 1:
             def loss_fn(params):
-                out, new_stats = encode(params, state.batch_stats, images, tokens, rngs)
-                return contrastive(out) * ls_, (out, new_stats)
+                out, new_stats, new_quant = encode(
+                    params, state.batch_stats, state.quant_stats,
+                    images, tokens, rngs,
+                )
+                return contrastive(out) * ls_, (out, new_stats, new_quant)
 
-            (loss, (out, new_stats)), grads = jax.value_and_grad(
+            (loss, (out, new_stats, new_quant)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
             loss = loss / ls_
@@ -311,7 +344,10 @@ def make_clip_train_step(
             # Phase 1: no-grad feature bank (the OpenCLIP cached-negatives
             # recipe the reference intended, SURVEY §2.12.6).
             def fwd(xs):
-                o, _ = encode(state.params, state.batch_stats, xs[0], xs[1], rngs)
+                o, _, _ = encode(
+                    state.params, state.batch_stats, state.quant_stats,
+                    xs[0], xs[1], rngs,
+                )
                 return o["image_features"], o["text_features"]
 
             bank_img, bank_txt = jax.lax.map(fwd, (im_mb, tk_mb))
@@ -319,12 +355,14 @@ def make_clip_train_step(
             bank_txt = jax.lax.stop_gradient(bank_txt)
 
             def micro(carry, j):
-                g_acc, loss_acc, stats = carry
+                g_acc, loss_acc, stats, qstats = carry
                 im_j = jax.lax.dynamic_index_in_dim(im_mb, j, keepdims=False)
                 tk_j = jax.lax.dynamic_index_in_dim(tk_mb, j, keepdims=False)
 
                 def loss_fn(params):
-                    o, new_stats = encode(params, stats, im_j, tk_j, rngs)
+                    o, new_stats, new_quant = encode(
+                        params, stats, qstats, im_j, tk_j, rngs
+                    )
                     bi = jax.lax.dynamic_update_index_in_dim(
                         bank_img, o["image_features"], j, 0
                     )
@@ -338,17 +376,19 @@ def make_clip_train_step(
                     )
                     if "logit_bias" in o:
                         full["logit_bias"] = o["logit_bias"]
-                    return contrastive(full) * ls_, new_stats
+                    return contrastive(full) * ls_, (new_stats, new_quant)
 
-                (l, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params
-                )
+                (l, (new_stats, new_quant)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, loss_acc + l, new_stats), None
+                return (g_acc, loss_acc + l, new_stats, new_quant), None
 
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (grads, loss_sum, new_stats), _ = jax.lax.scan(
-                micro, (zero_g, 0.0, state.batch_stats), jnp.arange(accum)
+            (grads, loss_sum, new_stats, new_quant), _ = jax.lax.scan(
+                micro,
+                (zero_g, 0.0, state.batch_stats, state.quant_stats),
+                jnp.arange(accum),
             )
             loss = loss_sum / (ls_ * accum)
             out = {"logit_scale": jnp.exp(state.params["logit_scale"])}
@@ -356,7 +396,8 @@ def make_clip_train_step(
         if freeze_bn and isinstance(new_stats, dict) and "visual" in new_stats:
             new_stats = {**new_stats, "visual": state.batch_stats["visual"]}
         new_state, grads, extra = _finish_step(
-            state, grads, new_stats, tx, ls_, dyn, clamp=True
+            state, grads, new_stats, tx, ls_, dyn, clamp=True,
+            new_quant=new_quant,
         )
         metrics = {"loss": loss, "logit_scale": out["logit_scale"], **extra}
         if getattr(args, "debug", False):
@@ -365,6 +406,22 @@ def make_clip_train_step(
             metrics["lr"] = schedule(state.step)
         return new_state, metrics
 
+    def calibrate_quant(state, batch, rng):
+        """Refresh --quant int8_delayed absmax state with one forward on a
+        real batch (no optimizer step): model.init calibrated the delayed
+        scales on the init batch (zeros at pipeline init), so the first
+        real batch re-anchors them before training starts."""
+        r_pp, _, _, r_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 4
+        )
+        images = _preprocess_train(batch["image"], r_pp, tcfg, policy)
+        _, _, new_quant = encode(
+            state.params, state.batch_stats, state.quant_stats,
+            images, batch.get("tokens"), {"dropout": r_drop},
+        )
+        return state.replace(quant_stats=new_quant)
+
+    step_fn.calibrate_quant = jax.jit(calibrate_quant)
     return step_fn
 
 
@@ -398,18 +455,12 @@ def make_classifier_train_step(
     dynamic = bool(getattr(policy, "dynamic_loss_scale", False))
     accum = max(int(args.accum_freq), 1)
 
-    def forward(params, batch_stats, images, tokens, rngs):
-        variables = {"params": params}
+    def forward(params, batch_stats, quant_stats, images, tokens, rngs):
         inputs = (images, tokens) if takes_text else (images,)
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            logits, mut = model.apply(
-                variables, *inputs, deterministic=False, rngs=rngs,
-                mutable=["batch_stats"],
-            )
-            return logits, mut.get("batch_stats", {})
-        out = model.apply(variables, *inputs, deterministic=False, rngs=rngs)
-        return out, batch_stats
+        return _mutable_apply(
+            model, params, batch_stats, quant_stats, *inputs,
+            deterministic=False, rngs=rngs,
+        )
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -434,15 +485,18 @@ def make_classifier_train_step(
 
         tgt = soft if soft is not None else targets
 
-        def loss_fn(params, stats, im, tk, tg):
-            logits, new_stats = forward(params, stats, im, tk, rngs)
+        def loss_fn(params, stats, qstats, im, tk, tg):
+            logits, new_stats, new_quant = forward(
+                params, stats, qstats, im, tk, rngs
+            )
             l = cross_entropy_loss(logits, tg, weight=weights)
-            return l * ls_, new_stats
+            return l * ls_, (new_stats, new_quant)
 
         if accum == 1:
-            (loss, new_stats), grads = jax.value_and_grad(
+            (loss, (new_stats, new_quant)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, state.batch_stats, images, tokens, tgt)
+            )(state.params, state.batch_stats, state.quant_stats,
+              images, tokens, tgt)
             loss = loss / ls_
         else:
             if images.shape[0] % accum:
@@ -460,27 +514,30 @@ def make_classifier_train_step(
             tg_mb = tgt.reshape(accum, mb, *tgt.shape[1:])
 
             def micro(carry, j):
-                g_acc, loss_acc, stats = carry
+                g_acc, loss_acc, stats, qstats = carry
                 im_j = jax.lax.dynamic_index_in_dim(im_mb, j, keepdims=False)
                 tk_j = (
                     jax.lax.dynamic_index_in_dim(tk_mb, j, keepdims=False)
                     if tk_mb is not None else None
                 )
                 tg_j = jax.lax.dynamic_index_in_dim(tg_mb, j, keepdims=False)
-                (l, new_stats), g = jax.value_and_grad(
+                (l, (new_stats, new_quant)), g = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(state.params, stats, im_j, tk_j, tg_j)
+                )(state.params, stats, qstats, im_j, tk_j, tg_j)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, loss_acc + l, new_stats), None
+                return (g_acc, loss_acc + l, new_stats, new_quant), None
 
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (grads, loss_sum, new_stats), _ = jax.lax.scan(
-                micro, (zero_g, 0.0, state.batch_stats), jnp.arange(accum)
+            (grads, loss_sum, new_stats, new_quant), _ = jax.lax.scan(
+                micro,
+                (zero_g, 0.0, state.batch_stats, state.quant_stats),
+                jnp.arange(accum),
             )
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
             loss = loss_sum / (ls_ * accum)
         new_state, grads, extra = _finish_step(
-            state, grads, new_stats, tx, ls_, dyn, clamp=False
+            state, grads, new_stats, tx, ls_, dyn, clamp=False,
+            new_quant=new_quant,
         )
         metrics = {"loss": loss, **extra}
         if getattr(args, "debug", False):
@@ -489,6 +546,19 @@ def make_classifier_train_step(
             metrics["lr"] = schedule(state.step)
         return new_state, metrics
 
+    def calibrate_quant(state, batch, rng):
+        """See make_clip_train_step.calibrate_quant."""
+        r_pp, _, _, r_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 4
+        )
+        images = _preprocess_train(batch["image"], r_pp, tcfg, policy)
+        _, _, new_quant = forward(
+            state.params, state.batch_stats, state.quant_stats,
+            images, batch.get("tokens"), {"dropout": r_drop},
+        )
+        return state.replace(quant_stats=new_quant)
+
+    step_fn.calibrate_quant = jax.jit(calibrate_quant)
     return step_fn
 
 
@@ -550,7 +620,16 @@ def train_one_epoch(
     # trace steps 3-8 of THIS iteration (relative to start_batch, so a
     # mid-epoch-resumed run still captures a profile)
     trace_lo, trace_hi = start_batch + 3, start_batch + 8
+    calibrate = getattr(step_fn, "calibrate_quant", None)
+    need_calib = bool(getattr(state, "quant_stats", None)) and calibrate
     for i, batch in enumerate(it, start=start_batch):
+        if need_calib:
+            # --quant int8_delayed: re-anchor the absmax state on the
+            # first real batch of a fresh run (step 0); resumed runs keep
+            # their checkpointed scales
+            need_calib = False
+            if int(jax.device_get(state.step)) == 0:
+                state = calibrate(state, batch, rng)
         if trace_dir and i == trace_lo and not tracing:
             try:
                 jax.profiler.start_trace(trace_dir)

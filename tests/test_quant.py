@@ -395,3 +395,242 @@ def test_int8_fast_attn_model_close_to_int8_fast():
     assert np.isfinite(losses["int8_fast_attn"])
     assert losses["int8_fast"] != losses["int8_fast_attn"]
     assert abs(losses["int8_fast"] - losses["int8_fast_attn"]) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# delayed scaling (--quant int8_delayed)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_delayed_dot_matches_fake_quant_with_given_scales():
+    """int8_delayed_dot == fake-quant at the CALLER's scales (fwd) with
+    dynamically-calibrated STE backward (same backward as int8_fast)."""
+    from mamba_clip_tpu.ops.qdot import (
+        _absmax_scale, _quantize, int8_delayed_dot)
+
+    r = np.random.default_rng(0)
+    lhs = jnp.asarray(r.normal(size=(4, 7, 16)), jnp.float32)
+    rhs = jnp.asarray(r.normal(size=(16, 24)), jnp.float32)
+    w = jnp.asarray(r.normal(size=(4, 7, 24)), jnp.float32)
+    sl = jnp.float32(0.021)  # deliberately NOT lhs's absmax scale
+    sr = jnp.float32(0.013)
+
+    def fq(x, s):
+        return _quantize(x, s).astype(jnp.float32) * s
+
+    out = int8_delayed_dot(lhs, rhs, sl, sr)
+    ref = jnp.einsum("blk,kn->bln", fq(lhs, sl), fq(rhs, sr))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    gl, gr, gsl, gsr = jax.grad(
+        lambda a, b, s1, s2: jnp.sum(int8_delayed_dot(a, b, s1, s2) * w),
+        argnums=(0, 1, 2, 3),
+    )(lhs, rhs, sl, sr)
+    sg = _absmax_scale(w)
+    ref_gl = jnp.einsum("bln,kn->blk", fq(w, sg), fq(rhs, sr))
+    ref_gr = jnp.einsum("blk,bln->kn", fq(lhs, sl), fq(w, sg))
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(ref_gl), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(ref_gr), atol=1e-5)
+    assert float(gsl) == 0.0 and float(gsr) == 0.0  # STE: scales carry no grad
+
+
+def test_int8_delayed_dense_state_semantics():
+    """The stateful injection: init calibrates on the init batch; a
+    read-only apply on the same inputs equals int8_fast exactly (same
+    scales); a mutable apply records the NEW batch's absmax while still
+    quantizing with the OLD scales (one-step delay)."""
+    from flax import linen as nn
+
+    from mamba_clip_tpu.ops.qdot import (
+        Int8DelayedDotGeneral, int8_dense_dot)
+
+    dense = nn.Dense(8, dot_general_cls=Int8DelayedDotGeneral)
+    r = np.random.default_rng(0)
+    x0 = jnp.asarray(r.normal(size=(3, 16)), jnp.float32)
+    x1 = jnp.asarray(2.5 * r.normal(size=(3, 16)), jnp.float32)
+
+    variables = dense.init(jax.random.PRNGKey(0), x0)
+    q0 = jax.tree_util.tree_leaves(variables["quant"])
+    kernel = variables["params"]["kernel"]
+    bias = variables["params"]["bias"]
+    assert len(q0) == 2  # amax_lhs, amax_rhs
+    amaxes = {float(v) for v in q0}
+    assert float(jnp.max(jnp.abs(x0))) in amaxes
+    assert float(jnp.max(jnp.abs(kernel))) in amaxes
+
+    # read-only apply at the calibration batch == dynamic int8_fast
+    y = dense.apply(variables, x0)
+    y_ref = int8_dense_dot(x0, kernel) + bias
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)
+
+    # mutable apply on x1: quantizes with x0's scales, records x1's absmax
+    y1, mut = dense.apply(variables, x1, mutable=["quant"])
+    new_amaxes = {float(v) for v in jax.tree_util.tree_leaves(mut["quant"])}
+    assert float(jnp.max(jnp.abs(x1))) in new_amaxes
+    y1_stale = int8_dense_dot(x1 * (jnp.max(jnp.abs(x0))
+                                    / jnp.max(jnp.abs(x1))), kernel)
+    del y1_stale  # (structure only; exact value pinned by the dot test)
+    assert not np.allclose(np.asarray(y1), np.asarray(
+        int8_dense_dot(x1, kernel) + bias))  # stale scales != fresh scales
+
+
+def test_int8_delayed_train_step_threads_quant_state():
+    """Full stage-1 step under --quant int8_delayed: the quant collection
+    initializes, updates every step, the calibration hook re-anchors it,
+    and training moves (finite loss/grads, params change)."""
+    rng = jax.random.PRNGKey(0)
+    model = _clip("int8_delayed")
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.ones((2, 16), jnp.int32),
+    )
+    assert variables.get("quant"), "delayed mode must create quant state"
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1,
+                precision="fp32", quant="int8_delayed")
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(variables["params"], tx, {},
+                               quant_stats=variables["quant"])
+    fn = make_clip_train_step(model, tx, policy, args, tcfg, schedule)
+    jfn = jax.jit(fn)
+    r = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(r.integers(0, 256, (8, 40, 40, 3), dtype=np.uint8)),
+        "tokens": jnp.asarray(r.integers(4, 64, (8, 16), dtype=np.int32)),
+    }
+
+    # the calibration hook replaces the zeros-batch scales with real ones
+    calibrated = fn.calibrate_quant(state, batch, rng)
+    c0 = jax.tree_util.tree_leaves(state.quant_stats)
+    c1 = jax.tree_util.tree_leaves(calibrated.quant_stats)
+    assert any(float(a) != float(b) for a, b in zip(c0, c1))
+    assert int(calibrated.step) == 0  # no optimizer step
+
+    s1, metrics = jfn(calibrated, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    s2, _ = jfn(s1, batch, jax.random.PRNGKey(1))
+    q1 = jax.tree_util.tree_leaves(s1.quant_stats)
+    q2 = jax.tree_util.tree_leaves(s2.quant_stats)
+    # params moved between steps, so the recorded weight amaxes move too
+    assert any(float(a) != float(b) for a, b in zip(q1, q2))
+    delta = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(calibrated.params),
+                        jax.tree_util.tree_leaves(s1.params))
+    )
+    assert delta > 0
+
+
+def test_int8_delayed_composes_with_remat_and_accum():
+    """nn.remat (--grad-checkpointing) and --accum-freq both carry the
+    mutable quant collection correctly."""
+    rng = jax.random.PRNGKey(0)
+    model = build_clip(
+        "biomedclip", image_size=32, context_length=16, vocab_size=64,
+        quant="int8_delayed", grad_checkpointing=True,
+    )
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.ones((2, 16), jnp.int32),
+    )
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1,
+                precision="fp32", quant="int8_delayed", accum_freq=2)
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(variables["params"], tx, {},
+                               quant_stats=variables["quant"])
+    fn = jax.jit(make_clip_train_step(model, tx, policy, args, tcfg, schedule))
+    r = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(r.integers(0, 256, (8, 40, 40, 3), dtype=np.uint8)),
+        "tokens": jnp.asarray(r.integers(4, 64, (8, 16), dtype=np.int32)),
+    }
+    new_state, metrics = fn(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    q0 = jax.tree_util.tree_leaves(state.quant_stats)
+    q1 = jax.tree_util.tree_leaves(new_state.quant_stats)
+    assert any(float(a) != float(b) for a, b in zip(q0, q1))
+
+
+def test_int8_delayed_checkpoint_roundtrip(tmp_path):
+    """quant_stats survive save/restore (a resumed run quantizes with the
+    scales the interrupted run would have used)."""
+    from mamba_clip_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    rng = jax.random.PRNGKey(0)
+    model = _clip("int8_delayed")
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.ones((2, 16), jnp.int32),
+    )
+    args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1, precision="fp32")
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(variables["params"], tx, {},
+                               quant_stats=variables["quant"])
+    # make the stats distinguishable from a fresh init
+    bumped = jax.tree_util.tree_map(lambda a: a + 1.25, state.quant_stats)
+    state = state.replace(quant_stats=bumped)
+    path = save_checkpoint(str(tmp_path), state, epoch=1, block=True)
+
+    fresh = create_train_state(variables["params"], tx, {},
+                               quant_stats=variables["quant"])
+    restored, start_epoch = load_checkpoint(path, fresh)
+    assert start_epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(bumped),
+                    jax.tree_util.tree_leaves(restored.quant_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_int8_delayed_composes_with_mesh():
+    """int8_delayed under a data x fsdp x model mesh: the scalar amax
+    state replicates (parallel/mesh.param_sharding P() rule), the absmax
+    recordings are global reductions under SPMD, and the step runs to a
+    finite loss with the quant state updating."""
+    from mamba_clip_tpu.models.clip import ClipModel
+    from mamba_clip_tpu.models.text_bert import TextBert
+    from mamba_clip_tpu.models.vit import VisionTransformer
+    from mamba_clip_tpu.ops.qdot import Int8DelayedDotGeneral
+    from mamba_clip_tpu.parallel.mesh import (
+        MeshSpec, create_mesh, data_sharding, param_sharding)
+
+    rng = jax.random.PRNGKey(0)
+    visual = VisionTransformer(
+        image_size=32, patch_size=16, width=32, depth=1, num_heads=2,
+        embed_dim=16, dot_general_cls=Int8DelayedDotGeneral, name="visual")
+    text = TextBert(
+        vocab_size=64, context_length=16, width=32, depth=1, num_heads=2,
+        embed_dim=16, dot_general_cls=Int8DelayedDotGeneral, name="text")
+    model = ClipModel(visual=visual, text=text)
+    variables = model.init(
+        {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+        text=jnp.ones((2, 16), jnp.int32),
+    )
+    args = Args(batch_size=16, epochs=1, lr=1e-3, warmup=1,
+                precision="fp32", quant="int8_delayed")
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    mesh = create_mesh(MeshSpec(data=2, fsdp=2, model=2))
+    state = create_train_state(variables["params"], tx, {},
+                               quant_stats=variables["quant"])
+    state = jax.device_put(state, param_sharding(mesh, state))
+    r = np.random.default_rng(0)
+    batch = jax.device_put(
+        {"image": r.integers(0, 256, (16, 40, 40, 3), dtype=np.uint8),
+         "tokens": r.integers(4, 64, (16, 16), dtype=np.int32)},
+        data_sharding(mesh))
+    fn = jax.jit(make_clip_train_step(model, tx, policy, args, tcfg,
+                                      schedule))
+    with mesh:
+        new_state, metrics = fn(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    q0 = jax.tree_util.tree_leaves(state.quant_stats)
+    q1 = jax.tree_util.tree_leaves(new_state.quant_stats)
+    assert any(float(a) != float(b) for a, b in zip(q0, q1))

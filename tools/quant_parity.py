@@ -58,8 +58,10 @@ def run(quant, steps, seed=0):
     tcfg = get_transform_config(None, 32, is_train=True)
     schedule = create_schedule(args, steps)
     tx = build_optimizer(args, schedule)
-    state = create_train_state(variables["params"], tx, {})
-    fn = jax.jit(make_clip_train_step(model, tx, policy, args, tcfg, schedule))
+    state = create_train_state(variables["params"], tx, {},
+                               quant_stats=variables.get("quant", {}))
+    raw_fn = make_clip_train_step(model, tx, policy, args, tcfg, schedule)
+    fn = jax.jit(raw_fn)
 
     r = np.random.default_rng(seed)
     losses = []
@@ -70,6 +72,11 @@ def run(quant, steps, seed=0):
             "tokens": jnp.asarray(
                 r.integers(4, 64, (8, 16), dtype=np.int32)),
         }
+        if i == 0 and state.quant_stats:
+            # int8_delayed: re-anchor the init-batch scales on real data,
+            # exactly as train_one_epoch does on the first batch
+            state = raw_fn.calibrate_quant(
+                state, batch, jax.random.fold_in(rng, 0))
         state, metrics = fn(state, batch, jax.random.fold_in(rng, i))
         losses.append(float(metrics["loss"]))
     return losses
@@ -160,7 +167,8 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     curves = {}
-    for quant in (None, "int8", "int8_fast", "int8_fast_attn"):
+    for quant in (None, "int8", "int8_fast", "int8_fast_attn",
+                  "int8_delayed"):
         curves[quant or "fp32"] = run(quant, a.steps)
 
     base = np.asarray(curves["fp32"])
@@ -178,7 +186,7 @@ def main():
     else:
         for name, c in curves.items():
             print(f"{name:14s} first={c[0]:.4f} final={c[-1]:.4f}")
-        for name in ("int8", "int8_fast", "int8_fast_attn"):
+        for name in ("int8", "int8_fast", "int8_fast_attn", "int8_delayed"):
             print(f"{name:14s} max|Δloss| vs fp32 = "
                   f"{out[name]['max_dev_vs_fp32']:.4f}, "
                   f"final Δ = {out[name]['final_dev_vs_fp32']:.4f}")
