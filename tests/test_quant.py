@@ -634,3 +634,41 @@ def test_int8_delayed_composes_with_mesh():
     q0 = jax.tree_util.tree_leaves(state.quant_stats)
     q1 = jax.tree_util.tree_leaves(new_state.quant_stats)
     assert any(float(a) != float(b) for a, b in zip(q0, q1))
+
+
+def test_int8_delayed_applies_to_classifier_path():
+    """medmamba/VSSM classifier under int8_delayed: quant state
+    initializes, the classifier train step threads it, and it updates."""
+    from mamba_clip_tpu.models import build_classifier
+    from mamba_clip_tpu.train import make_classifier_train_step
+
+    rng = jax.random.PRNGKey(0)
+    model = build_classifier("medmamba", num_classes=3,
+                             quant="int8_delayed")
+    img0 = jnp.zeros((2, 32, 32, 3))
+    variables = model.init({"params": rng}, img0)
+    assert variables.get("quant"), "VSSM Denses must carry delayed scales"
+
+    args = Args(batch_size=4, epochs=1, lr=1e-3, warmup=1,
+                precision="fp32", quant="int8_delayed")
+    policy = get_policy("fp32")
+    tcfg = get_transform_config(None, 32, is_train=True)
+    schedule = create_schedule(args, 10)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(
+        variables["params"], tx, variables.get("batch_stats", {}),
+        quant_stats=variables["quant"])
+    fn = jax.jit(make_classifier_train_step(
+        model, tx, policy, args, tcfg, schedule, num_classes=3,
+        takes_text=False))
+    r = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(r.integers(0, 256, (4, 40, 40, 3),
+                                        dtype=np.uint8)),
+        "target": jnp.asarray(r.integers(0, 3, (4,), dtype=np.int32)),
+    }
+    new_state, metrics = fn(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    q0 = jax.tree_util.tree_leaves(state.quant_stats)
+    q1 = jax.tree_util.tree_leaves(new_state.quant_stats)
+    assert any(float(a) != float(b) for a, b in zip(q0, q1))
