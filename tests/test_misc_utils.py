@@ -73,7 +73,7 @@ def test_bench_choose_secondary():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    assert bench.choose_secondary(None, None) == "int8_fast"
+    assert bench.choose_secondary(None, None) == "int8_delayed"
     assert bench.choose_secondary(None, "int8_fast") is None
     assert bench.choose_secondary(None, "int8") is None
     assert bench.choose_secondary("", None) == ""  # explicit disable
