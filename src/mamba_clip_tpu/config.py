@@ -100,7 +100,7 @@ class Args:
     # calibration per tensor per step instead of AQT's per-use six);
     # int8_fast_attn = int8_fast + the attention-interior dots (QK^T,
     # P.V and their backward dots) on the int8 MXU.
-    quant: Optional[str] = None  # int8|int8_fwd|int8_fast|int8_fast_attn|int8_delayed|int8_serve|none
+    quant: Optional[str] = None  # int8|int8_fwd|int8_fast|int8_fast_attn|int8_delayed|int8_delayed_attn|int8_serve|none
     # NEW: MLP GELU form. auto = tanh when compute dtype is bf16 (erf costs
     # more than the fc1 matmul on the TPU VPU; tanh error is 33x below bf16
     # rounding — PERF.md round-3), exact otherwise (torch parity).

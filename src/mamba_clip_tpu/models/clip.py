@@ -278,10 +278,12 @@ def build_clip(
     nothing measurable under bf16 and preserves exact-erf parity for
     fp32/fp16 numerics-comparison runs."""
     from ..ops.quant import attn_int8 as _attn_int8
+    from ..ops.quant import attn_int8_delayed as _attn_int8_delayed
     from ..ops.quant import make_dot_general_cls
 
     dg_cls = make_dot_general_cls(quant)
     ai8 = _attn_int8(quant)
+    ai8d = _attn_int8_delayed(quant)
     gelu_approx = resolve_gelu_approx(gelu, dtype)
     name = (model_name or "biomedclip").lower()
     if "medmamba" in name or "vssm" in name:
@@ -297,6 +299,7 @@ def build_clip(
             gelu_approx=gelu_approx,
             grad_checkpointing=grad_checkpointing, dtype=dtype,
             dot_general_cls=dg_cls, attn_remat=attn_remat, attn_int8=ai8,
+            attn_int8_delayed=ai8d,
             name="visual",
         )
     text = TextBert(
@@ -304,6 +307,7 @@ def build_clip(
         embed_dim=embed_dim, grad_checkpointing=grad_checkpointing,
         dtype=dtype, gelu_approx=gelu_approx,
         dot_general_cls=dg_cls, attn_remat=attn_remat, attn_int8=ai8,
+            attn_int8_delayed=ai8d,
         name="text",
     )
     return ClipModel(visual=visual, text=text, siglip=siglip)

@@ -38,6 +38,7 @@ class BertBlock(nn.Module):
     dot_general_cls: Any = None  # AQT int8 injection (ops/quant.py)
     attn_remat: bool = False
     attn_int8: bool = False
+    attn_int8_delayed: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -50,6 +51,7 @@ class BertBlock(nn.Module):
             num_heads=self.num_heads, dtype=self.dtype,
             dot_general_cls=self.dot_general_cls,
             remat_probs=self.attn_remat, int8_interior=self.attn_int8,
+            int8_delayed_interior=self.attn_int8_delayed,
             name="attn",
         )(x, pad_mask=mask)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_attn")(
@@ -86,6 +88,7 @@ class TextBert(nn.Module):
     dot_general_cls: Any = None
     attn_remat: bool = False
     attn_int8: bool = False
+    attn_int8_delayed: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -122,6 +125,7 @@ class TextBert(nn.Module):
                 dtype=self.dtype, gelu_approx=self.gelu_approx,
                 dot_general_cls=self.dot_general_cls,
                 attn_remat=self.attn_remat, attn_int8=self.attn_int8,
+                attn_int8_delayed=self.attn_int8_delayed,
                 name=f"block{i}",
             )(x, pad_mask, deterministic)
 

@@ -47,6 +47,13 @@ class FusedAttention(nn.Module):
     # (--quant int8_fast_attn, ops/qdot.py int8_qk_dot/int8_pv_dot) — the
     # last bf16 MXU stream once the Dense GEMMs are int8.
     int8_interior: bool = False
+    # Delayed-scale int8 interior (--quant int8_delayed_attn): q/k/v
+    # quantize with the PREVIOUS step's per-head absmax (state in the
+    # "quant" variable collection, like the Dense delayed scales); the
+    # softmax probabilities use the static 1/127 scale. Removes the
+    # dynamic-calibration cost that made int8_fast_attn a measured
+    # negative (PERF.md "int8 attention interior").
+    int8_delayed_interior: bool = False
 
     def _dense(self, features, name, **kw):
         if self.dot_general_cls is not None:
@@ -61,11 +68,41 @@ class FusedAttention(nn.Module):
         qkv = self._dense(3 * d, "qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
+        sq = sk = sv = None
+        if self.int8_delayed_interior:
+            # Per-head delayed absmax state (h is a batch dim of every
+            # attention einsum, so per-head scales factor out of all six
+            # dots). Variables live in the same "quant" collection the
+            # Dense delayed scales use — threaded by the train step,
+            # checkpointed, and re-anchored by calibrate_quant for free.
+            def _head_amax(t):
+                a = jnp.max(
+                    jnp.abs(jax.lax.stop_gradient(t).astype(jnp.float32)
+                            .reshape(B, T, h, hd)),
+                    axis=(0, 1, 3),
+                )
+                return jnp.maximum(a, 1e-6)
+
+            fq, fk, fv = _head_amax(q), _head_amax(k), _head_amax(v)
+            a_q = self.variable("quant", "amax_q", lambda: fq)
+            a_k = self.variable("quant", "amax_k", lambda: fk)
+            a_v = self.variable("quant", "amax_v", lambda: fv)
+            sq = (a_q.value / 127.0).reshape(1, 1, h, 1)
+            sk = (a_k.value / 127.0).reshape(1, 1, h, 1)
+            sv = (a_v.value / 127.0).reshape(1, 1, h, 1)
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("quant")):
+                a_q.value, a_k.value, a_v.value = fq, fk, fv
+
         def interior(q, k, v, pad_mask):
             q = q.reshape(B, T, h, hd)
             k = k.reshape(B, T, h, hd)
             v = v.reshape(B, T, h, hd)
-            if self.int8_interior:
+            if self.int8_delayed_interior:
+                from ..ops.qdot import int8_pv_dot_delayed, int8_qk_dot_delayed
+
+                s = int8_qk_dot_delayed(q, k, sq, sk) * (hd ** -0.5)
+            elif self.int8_interior:
                 from ..ops.qdot import int8_pv_dot, int8_qk_dot
 
                 s = int8_qk_dot(q, k) * (hd ** -0.5)
@@ -76,6 +113,8 @@ class FusedAttention(nn.Module):
                 # pad_mask: (B, 1, 1, T) True = attend
                 s = jnp.where(pad_mask, s, jnp.float32(-1e9))
             p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            if self.int8_delayed_interior:
+                return int8_pv_dot_delayed(p, v, sv).reshape(B, T, d)
             if self.int8_interior:
                 return int8_pv_dot(p, v).reshape(B, T, d)
             return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, T, d)
@@ -129,6 +168,7 @@ class EncoderBlock(nn.Module):
     dot_general_cls: Any = None
     attn_remat: bool = False
     attn_int8: bool = False
+    attn_int8_delayed: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -140,6 +180,7 @@ class EncoderBlock(nn.Module):
                            dot_general_cls=self.dot_general_cls,
                            remat_probs=self.attn_remat,
                            int8_interior=self.attn_int8,
+                           int8_delayed_interior=self.attn_int8_delayed,
                            name="attn")(y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(
@@ -174,6 +215,7 @@ class VisionTransformer(nn.Module):
     dot_general_cls: Any = None  # AQT int8 injection into the hot GEMMs
     attn_remat: bool = False  # recompute attention probs in backward
     attn_int8: bool = False  # int8 attention interior (--quant int8_fast_attn)
+    attn_int8_delayed: bool = False  # delayed-scale interior (--quant int8_delayed_attn)
 
     @property
     def output_dim(self) -> int:
@@ -235,6 +277,7 @@ class VisionTransformer(nn.Module):
                 gelu_approx=self.gelu_approx,
                 dot_general_cls=self.dot_general_cls,
                 attn_remat=self.attn_remat, attn_int8=self.attn_int8,
+                attn_int8_delayed=self.attn_int8_delayed,
                 name=f"block{i}",
             )(x, deterministic)
 

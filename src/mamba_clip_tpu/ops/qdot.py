@@ -201,6 +201,98 @@ int8_pv_dot.defvjp(_pv_fwd, _pv_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Delayed-scale attention interior (``--quant int8_delayed_attn``)
+# ---------------------------------------------------------------------------
+#
+# int8_fast_attn measured NEGATIVE end-to-end (PERF.md "int8 attention
+# interior"): the einsums' MXU win was erased by ~18 ms of *dynamic*
+# calibration — per-(batch, head) absmax reductions serializing before
+# each quantize, the largest over the [B,h,T,T] probabilities. Delayed
+# scaling removes exactly that cost:
+#   * q/k/v quantize with the PREVIOUS step's per-head scales (h is a
+#     batch dim of every attention einsum, so per-head factors out of
+#     all six dots; state lives in the same ``quant`` collection as the
+#     Dense delayed scales — see models/vit.py FusedAttention),
+#   * the softmax probabilities are in [0, 1] by construction, so their
+#     scale is the COMPILE-TIME constant 1/127 — no amax at all; the
+#     quantize fuses straight into the softmax epilogue,
+#   * cotangents keep dynamic per-(batch, head) calibration (their
+#     quantize lives in the backward, where it fuses for free — measured
+#     for the Dense path by tools/quant_static_scale_probe.py).
+# int8 residuals also halve the attention activation bytes vs bf16 —
+# the residual class XLA's auto-remat decisions are driven by.
+
+_P_SCALE = 1.0 / 127.0  # static softmax-probability scale (p ∈ [0, 1])
+
+
+@jax.custom_vjp
+def int8_qk_dot_delayed(q, k, sq, sk):
+    """scores[b,h,q,k] = Σ_d q[b,q,h,d] k[b,k,h,d] on the int8 MXU with
+    caller-provided (delayed) per-head scales in (1,1,h,1) layout.
+    Scales get zero cotangents (straight-through)."""
+    out, _ = _qkd_fwd(q, k, sq, sk)
+    return out
+
+
+def _qkd_fwd(q, k, sq, sk):
+    q8, k8 = _quantize(q, sq), _quantize(k, sk)
+    acc = _ei32("bqhd,bkhd->bhqk", q8, k8)
+    out_dtype = jnp.promote_types(q.dtype, k.dtype)
+    out = (acc.astype(jnp.float32)
+           * (_flip_bh(sq) * _flip_bh(sk))).astype(out_dtype)
+    res = (q8, sq, k8, sk,
+           jnp.zeros((0,), q.dtype), jnp.zeros((0,), k.dtype))
+    return out, res
+
+
+def _qkd_bwd(res, g):
+    q8, sq, k8, sk, q_proto, k_proto = res
+    g8, sg = _q8_bh(g, h_axis=1)   # dynamic; scales (B,h,1,1)
+    dq = (_ei32("bhqk,bkhd->bqhd", g8, k8).astype(jnp.float32)
+          * (_flip_bh(sg) * sk)).astype(q_proto.dtype)
+    dk = (_ei32("bhqk,bqhd->bkhd", g8, q8).astype(jnp.float32)
+          * (_flip_bh(sg) * sq)).astype(k_proto.dtype)
+    return dq, dk, jnp.zeros_like(sq), jnp.zeros_like(sk)
+
+
+int8_qk_dot_delayed.defvjp(_qkd_fwd, _qkd_bwd)
+
+
+@jax.custom_vjp
+def int8_pv_dot_delayed(p, v, sv):
+    """out[b,q,h,d] = Σ_k p[b,h,q,k] v[b,k,h,d] on the int8 MXU; probs
+    quantize with the static 1/127 scale, v with the caller's (delayed)
+    per-head scale in (1,1,h,1) layout."""
+    out, _ = _pvd_fwd(p, v, sv)
+    return out
+
+
+def _pvd_fwd(p, v, sv):
+    p8 = jnp.clip(jnp.round(p.astype(jnp.float32) * 127.0),
+                  0.0, 127.0).astype(jnp.int8)
+    v8 = _quantize(v, sv)
+    acc = _ei32("bhqk,bkhd->bqhd", p8, v8)
+    out_dtype = jnp.promote_types(p.dtype, v.dtype)
+    out = (acc.astype(jnp.float32) * (_P_SCALE * sv)).astype(out_dtype)
+    res = (p8, v8, sv,
+           jnp.zeros((0,), p.dtype), jnp.zeros((0,), v.dtype))
+    return out, res
+
+
+def _pvd_bwd(res, g):
+    p8, v8, sv, p_proto, v_proto = res
+    g8, sg = _q8_bh(g, h_axis=2)   # dynamic; scales (B,1,h,1)
+    dp = (_ei32("bqhd,bkhd->bhqk", g8, v8).astype(jnp.float32)
+          * (_flip_bh(sg) * _flip_bh(sv))).astype(p_proto.dtype)
+    dv = (_ei32("bhqk,bqhd->bkhd", p8, g8).astype(jnp.float32)
+          * (_P_SCALE * sg)).astype(v_proto.dtype)
+    return dp, dv, jnp.zeros_like(sv)
+
+
+int8_pv_dot_delayed.defvjp(_pvd_fwd, _pvd_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Serving variant: per-output-channel weight scales (``--quant int8_serve``)
 # ---------------------------------------------------------------------------
 #

@@ -24,7 +24,7 @@ import functools
 from typing import Any, Optional
 
 _VALID = ("int8", "int8_fwd", "int8_fast", "int8_fast_attn", "int8_delayed",
-          "int8_serve")
+          "int8_delayed_attn", "int8_serve")
 
 
 def attn_int8(quant) -> bool:
@@ -34,6 +34,15 @@ def attn_int8(quant) -> bool:
     touches softmax inputs/outputs, so it is a separate, more aggressive
     step than quantizing the Dense GEMMs."""
     return quant == "int8_fast_attn"
+
+
+def attn_int8_delayed(quant) -> bool:
+    """True when --quant moves the attention interior to int8 with
+    DELAYED q/k/v scales and the static 1/127 probability scale
+    (ops/qdot.py int8_qk_dot_delayed/int8_pv_dot_delayed) — the variant
+    that removes the dynamic-calibration cost which made int8_fast_attn
+    a measured end-to-end negative (PERF.md "int8 attention interior")."""
+    return quant == "int8_delayed_attn"
 
 
 def make_dot_general_cls(quant: Optional[str]) -> Any:
@@ -49,11 +58,13 @@ def make_dot_general_cls(quant: Optional[str]) -> Any:
         # through int8 (see attn_int8 / models FusedAttention).
         from .qdot import Int8FastDotGeneral
         return Int8FastDotGeneral
-    if quant == "int8_delayed":
+    if quant in ("int8_delayed", "int8_delayed_attn"):
         # Stateful delayed-scaling dot (ops/qdot.py): quantizes with the
         # previous step's scales carried in the "quant" variable
         # collection, so the quantize pass fuses into each tensor's
         # producer (FP8-style delayed scaling, applied to int8).
+        # int8_delayed_attn additionally routes the attention interior
+        # through delayed-scale int8 (see attn_int8_delayed above).
         from .qdot import Int8DelayedDotGeneral
         return Int8DelayedDotGeneral
     if quant == "int8_serve":

@@ -159,9 +159,9 @@ def make_serving_fns(
     from .models import build_classifier, build_clip
     from .utils.precision import get_policy
 
-    if quant == "int8_delayed":
+    if quant in ("int8_delayed", "int8_delayed_attn"):
         raise ValueError(
-            "--quant int8_delayed is a TRAINING mode (its scales live in "
+            f"--quant {quant} is a TRAINING mode (its scales live in "
             "mutable model state); export serving artifacts with "
             "--quant int8_serve (per-channel weight scales) instead — "
             "checkpoints trained under int8_delayed load fine either way"

@@ -672,3 +672,136 @@ def test_int8_delayed_applies_to_classifier_path():
     q0 = jax.tree_util.tree_leaves(state.quant_stats)
     q1 = jax.tree_util.tree_leaves(new_state.quant_stats)
     assert any(float(a) != float(b) for a, b in zip(q0, q1))
+
+
+# ---------------------------------------------------------------------------
+# delayed-scale attention interior (--quant int8_delayed_attn)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_delayed_attn_dots_match_fake_quant_at_given_scales():
+    """int8_qk_dot_delayed / int8_pv_dot_delayed == fake-quant at the
+    caller's per-head scales (probs at the static 1/127 scale); scales
+    carry zero gradient (straight-through); cotangents stay dynamically
+    calibrated like int8_fast_attn's."""
+    from mamba_clip_tpu.ops.qdot import (
+        int8_pv_dot_delayed, int8_qk_dot_delayed)
+
+    r = np.random.default_rng(0)
+    B, T, h, hd = 2, 5, 3, 4
+    q = jnp.asarray(r.normal(0, 1, (B, T, h, hd)), jnp.float32)
+    k = jnp.asarray(r.normal(0, 1, (B, T, h, hd)), jnp.float32)
+    v = jnp.asarray(r.normal(0, 1, (B, T, h, hd)), jnp.float32)
+    p = jax.nn.softmax(
+        jnp.asarray(r.normal(0, 1, (B, h, T, T)), jnp.float32), axis=-1)
+    # deliberately NOT the operands' own absmax scales (delayed = stale)
+    sq = jnp.asarray(r.uniform(0.01, 0.05, (1, 1, h, 1)), jnp.float32)
+    sk = sq * 1.3
+    sv = sq * 0.7
+
+    def fq(x, s):
+        return jnp.clip(jnp.round(x / s), -127, 127) * s
+
+    ref_s = jnp.einsum("bqhd,bkhd->bhqk", fq(q, sq), fq(k, sk))
+    got_s = int8_qk_dot_delayed(q, k, sq, sk)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               atol=1e-5)
+    ref_o = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        jnp.clip(jnp.round(p * 127.0), 0, 127) / 127.0, fq(v, sv))
+    got_o = int8_pv_dot_delayed(p, v, sv)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                               atol=1e-5)
+
+    def loss(q, k, v, p, sq, sk, sv):
+        s = int8_qk_dot_delayed(q, k, sq, sk)
+        return jnp.sum(int8_pv_dot_delayed(jax.nn.softmax(s, -1), v, sv) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 4, 5, 6))(q, k, v, p, sq, sk, sv)
+    for g in grads[:3]:
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0
+    for gs in grads[3:]:
+        assert float(jnp.abs(gs).max()) == 0.0  # STE: scales carry no grad
+
+
+def test_int8_delayed_attn_module_state_and_closeness():
+    """FusedAttention with the delayed interior: identical params to the
+    plain module, output within the int8 envelope, per-head amax state
+    recorded on mutable applies and readable on eval applies."""
+    from mamba_clip_tpu.models.vit import FusedAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 7, 32))
+    m_ref = FusedAttention(num_heads=4, dtype=jnp.float32)
+    m_q = FusedAttention(num_heads=4, dtype=jnp.float32,
+                         int8_delayed_interior=True)
+    vars_ref = m_ref.init(jax.random.PRNGKey(4), x)
+    vars_q = m_q.init(jax.random.PRNGKey(4), x)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.allclose(a, b)),
+        vars_ref["params"], vars_q["params"]))
+    assert set(vars_q["quant"]) == {"amax_q", "amax_k", "amax_v"}
+    assert vars_q["quant"]["amax_q"].shape == (4,)  # per-head
+
+    o_ref = m_ref.apply(vars_ref, x)
+    o_q, mut = m_q.apply(vars_q, x, mutable=["quant"])
+    rel = float(jnp.linalg.norm(o_ref - o_q) / jnp.linalg.norm(o_ref))
+    assert 0 < rel < 0.05  # quantized: close, not equal
+
+    # a mutable apply on different data records that data's amax ...
+    _, mut2 = m_q.apply({"params": vars_q["params"], "quant": mut["quant"]},
+                        x * 2.0, mutable=["quant"])
+    assert not np.allclose(np.asarray(mut["quant"]["amax_q"]),
+                           np.asarray(mut2["quant"]["amax_q"]))
+    # ... and an eval apply reads the stored scales without mutating
+    o_eval = m_q.apply({"params": vars_q["params"], "quant": mut["quant"]}, x)
+    assert o_eval.shape == o_ref.shape
+
+
+def test_int8_delayed_attn_train_step_threads_quant_state():
+    """Full stage-1 step under --quant int8_delayed_attn: the quant
+    collection carries BOTH the Dense delayed scales and the per-head
+    attention amaxes, training moves, and the loss stays within the
+    quantization envelope of int8_delayed's."""
+    rng = jax.random.PRNGKey(0)
+    losses = {}
+    for quant in ("int8_delayed", "int8_delayed_attn"):
+        model = _clip(quant)
+        variables = model.init(
+            {"params": rng}, image=jnp.zeros((2, 32, 32, 3)),
+            text=jnp.ones((2, 16), jnp.int32),
+        )
+        if quant == "int8_delayed_attn":
+            flat = jax.tree_util.tree_leaves_with_path(variables["quant"])
+            names = {str(p[-1].key) for p, _ in flat}
+            assert {"amax_q", "amax_k", "amax_v"} <= names
+        args = Args(batch_size=8, epochs=1, lr=1e-3, warmup=1,
+                    precision="fp32", quant=quant)
+        policy = get_policy("fp32")
+        tcfg = get_transform_config(None, 32, is_train=True)
+        schedule = create_schedule(args, 10)
+        tx = build_optimizer(args, schedule)
+        state = create_train_state(variables["params"], tx, {},
+                                   quant_stats=variables["quant"])
+        fn = make_clip_train_step(model, tx, policy, args, tcfg, schedule)
+        jfn = jax.jit(fn)
+        r = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(
+                r.integers(0, 256, (8, 40, 40, 3), dtype=np.uint8)),
+            "tokens": jnp.asarray(r.integers(4, 64, (8, 16), dtype=np.int32)),
+        }
+        state = fn.calibrate_quant(state, batch, rng)
+        s1, metrics = jfn(state, batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        # the attention amax state updates across steps
+        s2, _ = jfn(s1, batch, jax.random.PRNGKey(1))
+        q1 = jax.tree_util.tree_leaves(s1.quant_stats)
+        q2 = jax.tree_util.tree_leaves(s2.quant_stats)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(q1, q2)
+        )
+        losses[quant] = float(metrics["loss"])
+    assert losses["int8_delayed"] != losses["int8_delayed_attn"]
+    assert abs(losses["int8_delayed"] - losses["int8_delayed_attn"]) < 0.1

@@ -495,11 +495,13 @@ def test_http_host_microbatching(tmp_path):
 
 
 def test_serving_rejects_training_only_quant():
-    """int8_delayed scales live in mutable model state — serving export
-    must reject it with a pointer to int8_serve."""
+    """int8_delayed / int8_delayed_attn scales live in mutable model
+    state — serving export must reject them with a pointer to
+    int8_serve."""
     import pytest
 
     from mamba_clip_tpu.serving import make_serving_fns
 
-    with pytest.raises(ValueError, match="int8_serve"):
-        make_serving_fns("biomedclip", quant="int8_delayed")
+    for quant in ("int8_delayed", "int8_delayed_attn"):
+        with pytest.raises(ValueError, match="int8_serve"):
+            make_serving_fns("biomedclip", quant=quant)
