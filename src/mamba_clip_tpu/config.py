@@ -63,7 +63,9 @@ class Args:
     beta2: float = 0.999
     eps: float = 1e-8
     wd: float = 0.05
-    warmup: int = 1
+    # >=1: literal step count (reference CLI semantics); [0,1): fraction of
+    # total steps (schedules.resolve_warmup — the HPO space's float warmup)
+    warmup: float = 1
     skip_scheduler: bool = False
     lr_scheduler: str = "cosine"  # cosine|const|const-cooldown
     lr_restart_interval: Optional[int] = None

@@ -31,6 +31,25 @@ import pandas as pd
 from .report_gen import generate_report
 
 
+def _content_key(data_path, ids) -> str:
+    """Hash identifying exactly which rows a cache holds.
+
+    Keyed on the image source AND the full id sequence: two datasets of
+    equal length but different id sets (e.g. two --undersample draws with
+    different seeds, or same-size val/test splits) must never share a
+    memmap — the done-bitmap would say "present" for rows that belong to
+    the other id set and images would silently cross over.
+    """
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(str(data_path).encode())
+    for i in ids:
+        h.update(b"\0")
+        h.update(str(i).encode())
+    return h.hexdigest()[:16]
+
+
 class StagingCache:
     """Disk memmap of decoded uint8 staging squares.
 
@@ -146,10 +165,13 @@ class IsicChallengeDataset:
         self._h5_all: list = []
         self._h5_all_lock = threading.Lock()
         self._token_memo = {} if not is_train else None  # eval text is deterministic
+        # cache name carries a content hash of (data_path, ids): equal-length
+        # datasets with different id sets get distinct memmaps.
         self.cache = (
             StagingCache(
                 cache_dir,
-                f"{'train' if is_train else 'eval'}_{len(self.ids)}",
+                f"{'train' if is_train else 'eval'}"
+                f"_{len(self.ids)}_{_content_key(data_path, self.ids)}",
                 len(self.ids),
                 staging_size,
             )

@@ -40,23 +40,38 @@ def _require_optuna():
 
 
 def suggest_args(trial, base: Args) -> Args:
-    """Search space (reference: integrations/optuna.py:126-154)."""
+    """Search space (reference: integrations/optuna.py:126-154).
+
+    Ranges match the reference exactly — undersample 10k..100k step 10k,
+    lr log [1e-6, 1e-3], beta1/beta2 [0.9, 0.999], eps log [1e-9, 1e-7],
+    wd log [1e-4, 1e-1], cosine scheduler, restart ∈ {1, None}, batch size
+    {8..256}, grad clip log [1e-2, 1e2], balanced-mixup [0, 1] — with ONE
+    intent fix: the reference suggests ``warmup`` as a float in [0, 1]
+    but consumes it as a step COUNT (scheduler.py:14-15), which at any
+    value < 1 degenerates to a first-step lr spike of base/warmup. Here
+    the same float is interpreted as the evident intent — a FRACTION of
+    total training steps — converted where total_steps is known
+    (schedules.create_schedule). Documented in PARITY.md row 22.
+    """
     kw = dict(
-        undersample=trial.suggest_int("undersample", 10_000, 100_000, log=True)
-        if base.undersample
-        else base.undersample,
+        undersample=trial.suggest_int("undersample", 10_000, 100_000, step=10_000),
         lr=trial.suggest_float("lr", 1e-6, 1e-3, log=True),
-        beta1=trial.suggest_float("beta1", 0.85, 0.95),
-        beta2=trial.suggest_float("beta2", 0.95, 0.999),
-        eps=trial.suggest_float("eps", 1e-9, 1e-6, log=True),
-        wd=trial.suggest_float("wd", 0.0, 0.4),
-        warmup=trial.suggest_int("warmup", 0, 10_000),
-        batch_size=trial.suggest_categorical("batch_size", [32, 64, 128]),
-        grad_clip_norm=trial.suggest_float("grad_clip_norm", 0.1, 10.0, log=True),
-        balanced_mixup=trial.suggest_float("balanced_mixup", 0.0, 0.4),
+        beta1=trial.suggest_float("beta1", 0.9, 0.999),
+        beta2=trial.suggest_float("beta2", 0.9, 0.999),
+        eps=trial.suggest_float("eps", 1e-9, 1e-7, log=True),
+        wd=trial.suggest_float("wd", 1e-4, 1e-1, log=True),
+        warmup=trial.suggest_float("warmup", 0.0, 1.0),
+        lr_scheduler="cosine",
+        batch_size=trial.suggest_categorical(
+            "batch_size", [8, 16, 32, 64, 128, 256]
+        ),
+        accum_freq=1,
+        grad_clip_norm=trial.suggest_float("grad_clip_norm", 1e-2, 1e2, log=True),
+        balanced_mixup=trial.suggest_float("balanced_mixup", 0.0, 1.0),
+        lr_restart_interval=trial.suggest_categorical(
+            "lr_restart_interval", [1, None]
+        ),
     )
-    restart = trial.suggest_categorical("lr_restart_interval", [0, 500, 2000])
-    kw["lr_restart_interval"] = restart or None
     return base.replace(**kw)
 
 

@@ -81,7 +81,9 @@ class FusedAttention(nn.Module):
                             .reshape(B, T, h, hd)),
                     axis=(0, 1, 3),
                 )
-                return jnp.maximum(a, 1e-6)
+                from ..ops.qdot import _EPS
+
+                return jnp.maximum(a, _EPS)
 
             fq, fk, fv = _head_amax(q), _head_amax(k), _head_amax(v)
             a_q = self.variable("quant", "amax_q", lambda: fq)

@@ -66,7 +66,11 @@ def const_lr_cooldown(
 
     def schedule(step):
         step = _restart(jnp.asarray(step), restart_interval)
-        start_cooldown = steps - cooldown_steps
+        # With restarts the cooldown anchors inside EVERY cycle
+        # (reference: scheduler.py:46-49 — restart_interval - cooldown_steps),
+        # not at the end of the whole run.
+        cycle = restart_interval if (restart_interval or 0) > 0 else steps
+        start_cooldown = cycle - cooldown_steps
         e = step - start_cooldown
         decay = (1 - (e / jnp.maximum(cooldown_steps, 1))) ** cooldown_power
         cooled = decay * (base_lr - cooldown_end_lr) + cooldown_end_lr
@@ -103,22 +107,39 @@ def cosine_lr(
     return schedule
 
 
+def resolve_warmup(warmup, total_steps: int) -> int:
+    """Warmup flag → step count.
+
+    Values ≥ 1 are literal step counts (the reference CLI semantics,
+    cli/main.py:190-210). A float in [0, 1) is a FRACTION of total steps —
+    the intent fix for the reference HPO space's
+    ``trial.suggest_float("warmup", 0, 1)``
+    (integrations/optuna.py:145), which the reference consumes as a step
+    count and thereby degenerates into a first-step lr spike of
+    base/warmup (scheduler.py:14-15).
+    """
+    if 0 <= warmup < 1:
+        return int(round(warmup * total_steps))
+    return int(warmup)
+
+
 def create_schedule(args, total_steps: int) -> Optional[Schedule]:
     """Dispatch on --lr-scheduler (reference: pipeline.py:341-373)."""
     if args.skip_scheduler:
         return None
     name = args.lr_scheduler
+    warmup = resolve_warmup(args.warmup, total_steps)
     if name == "cosine":
-        return cosine_lr(args.lr, args.warmup, total_steps, args.lr_restart_interval)
+        return cosine_lr(args.lr, warmup, total_steps, args.lr_restart_interval)
     if name == "const":
-        return const_lr(args.lr, args.warmup, args.lr_restart_interval)
+        return const_lr(args.lr, warmup, args.lr_restart_interval)
     if name == "const-cooldown":
         if args.epochs_cooldown is None:
             raise ValueError("const-cooldown requires --epochs-cooldown")
         cooldown_steps = total_steps * args.epochs_cooldown // max(args.epochs, 1)
         return const_lr_cooldown(
             args.lr,
-            args.warmup,
+            warmup,
             total_steps,
             cooldown_steps,
             args.lr_cooldown_power,

@@ -25,8 +25,10 @@ class FakeTrial:
         self.suggested[name] = v
         return v
 
-    def suggest_int(self, name, lo, hi, log=False):
+    def suggest_int(self, name, lo, hi, log=False, step=1):
         v = int(self.rng.integers(lo, hi + 1))
+        if step > 1:
+            v = lo + ((v - lo) // step) * step
         self.suggested[name] = v
         return v
 
@@ -46,16 +48,41 @@ class FakeTrial:
 
 
 def test_suggest_args_ranges():
+    """Search space matches the reference's exactly
+    (reference: integrations/optuna.py:126-154), except warmup which is
+    the documented fraction-of-total-steps intent fix."""
     from mamba_clip_tpu.integrations.optuna import suggest_args
 
     base = Args(undersample=50_000)
-    t = FakeTrial(seed=1)
-    out = suggest_args(t, base)
-    assert 1e-6 <= out.lr <= 1e-3
-    assert 0.85 <= out.beta1 <= 0.95
-    assert out.batch_size in (32, 64, 128)
-    assert out.lr_restart_interval in (None, 500, 2000)
-    assert 10_000 <= out.undersample <= 100_000
+    for seed in range(8):
+        t = FakeTrial(seed=seed)
+        out = suggest_args(t, base)
+        assert 1e-6 <= out.lr <= 1e-3
+        assert 0.9 <= out.beta1 <= 0.999
+        assert 0.9 <= out.beta2 <= 0.999
+        assert 1e-9 <= out.eps <= 1e-7
+        assert 1e-4 <= out.wd <= 1e-1
+        assert 0.0 <= out.warmup <= 1.0
+        assert out.lr_scheduler == "cosine"
+        assert out.accum_freq == 1
+        assert out.batch_size in (8, 16, 32, 64, 128, 256)
+        assert out.lr_restart_interval in (1, None)
+        assert 1e-2 <= out.grad_clip_norm <= 1e2
+        assert 0.0 <= out.balanced_mixup <= 1.0
+        assert 10_000 <= out.undersample <= 100_000
+        assert out.undersample % 10_000 == 0
+
+
+def test_resolve_warmup_fraction_intent_fix():
+    """warmup < 1 is a fraction of total steps; >= 1 is a literal count
+    (reference consumes the HPO float as a count — scheduler.py:14-15 —
+    which is the bug the fraction interpretation fixes)."""
+    from mamba_clip_tpu.schedules import resolve_warmup
+
+    assert resolve_warmup(0.25, 1000) == 250
+    assert resolve_warmup(0.0, 1000) == 0
+    assert resolve_warmup(1, 1000) == 1
+    assert resolve_warmup(10_000, 1000) == 10_000
 
 
 class FakeRunner:

@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Multi-chip weak-scaling benchmark + collective-cost audit.
+
+Measures the FULL stage-1 sharded train step (on-device preprocess +
+towers + global-batch InfoNCE + AdamW) across a ladder of mesh shapes
+with a FIXED per-device batch (weak scaling): per-step wall time, weak-
+scaling efficiency vs the single-device step, and an audit of the
+collectives XLA inserted for each sharding (op counts + payload bytes
+from the compiled HLO).
+
+The reference scales only by DDP all-reduce (NCCL); here the same ladder
+exercises data, fsdp and model (TP) axes (parallel/mesh.py). BASELINE.md
+configs 4-5 (v5e-8 / v5e-16) name the real-pod runs this script performs
+verbatim; on this machine it runs on virtual CPU devices
+(``--xla_force_host_platform_device_count``), where ABSOLUTE times are
+not TPU times but the methodology, the collective audit, and the
+sharding-correctness of every rung are real.
+
+Usage:
+    python tools/bench_scaling.py                  # 8 virtual CPU devices
+    python tools/bench_scaling.py --devices 8 --steps 5 --json out.json
+    # on a real pod: runs on the TPU backend automatically (drop the
+    # CPU forcing with --platform tpu)
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "src")
+)
+
+# Collective HLO ops we attribute. all-reduce shows up for replicated-grad
+# psums; all-gather/reduce-scatter for fsdp parameter gathers and grad
+# scatters; collective-permute for pipeline/sp shifts.
+_COLLECTIVE_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*"
+    r"((?:\(.*?\)|[a-z0-9]+\[[0-9,]*\][^ ]*))\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all)\b",
+    re.MULTILINE,
+)
+_SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s32|u32|s8|u8|pred|s64|u64)"
+                       r"\[([0-9,]*)\]")
+_DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+                "bf16": 2, "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+
+def collective_stats(hlo_text: str) -> dict:
+    """Count collective ops and sum their output payload bytes per kind."""
+    stats = {}
+    for m in _COLLECTIVE_RE.finditer(hlo_text):
+        shape_str, kind = m.group(1), m.group(2)
+        nbytes = 0
+        for dm in _SHAPE_RE.finditer(shape_str):
+            dt, dims = dm.group(1), dm.group(2)
+            n = 1
+            for d in filter(None, dims.split(",")):
+                n *= int(d)
+            nbytes += n * _DTYPE_BYTES.get(dt, 4)
+        s = stats.setdefault(kind, {"count": 0, "bytes": 0})
+        s["count"] += 1
+        s["bytes"] += nbytes
+    return stats
+
+
+def mesh_ladder(n: int):
+    """(data, fsdp, model) rungs to measure, all using <= n devices."""
+    rungs = [(1, 1, 1)]
+    d = 2
+    while d <= n:
+        rungs.append((d, 1, 1))
+        d *= 2
+    if n >= 4:
+        rungs.append((n // 2, 2, 1))
+        rungs.append((n // 4 if n >= 8 else 1, 2, 2))
+    if n >= 8:
+        rungs.append((1, n // 2, 2))
+    # dedup, preserve order
+    seen, out = set(), []
+    for r in rungs:
+        if r not in seen and r[0] * r[1] * r[2] <= n:
+            seen.add(r)
+            out.append(r)
+    return out
+
+
+def build_step(args_ns, dims, devices):
+    """Build (jitted step, sharded state, sharded batch, rng, mesh)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mamba_clip_tpu.config import Args
+    from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
+    from mamba_clip_tpu.models.clip import ClipModel
+    from mamba_clip_tpu.models.text_bert import TextBert
+    from mamba_clip_tpu.models.vit import VisionTransformer
+    from mamba_clip_tpu.optim import build_optimizer
+    from mamba_clip_tpu.schedules import create_schedule
+    from mamba_clip_tpu.train import create_train_state, make_clip_train_step
+    from mamba_clip_tpu.utils.precision import get_policy
+
+    n = dims[0] * dims[1] * dims[2]
+    fsdp, tp = dims[1], dims[2]
+    mesh = Mesh(np.asarray(devices[:n]).reshape(*dims),
+                ("data", "fsdp", "model"))
+
+    B = args_ns.batch_per_device * dims[0] * dims[1]  # weak scaling
+    img = args_ns.image_size
+    args = Args(batch_size=B, epochs=1, precision=args_ns.precision,
+                warmup=1, lr=1e-4, grad_clip_norm=1.0, local_loss=False)
+    policy = get_policy(args.precision)
+    tcfg = get_transform_config(None, img, is_train=True)
+
+    if args_ns.model == "flagship":
+        from mamba_clip_tpu.models import build_clip
+
+        model = build_clip(model_name="biomedclip", image_size=img,
+                           dtype=policy.compute_dtype)
+        ctx, vocab = 256, 30522
+    else:
+        visual = VisionTransformer(
+            image_size=img, patch_size=16, width=args_ns.width,
+            depth=args_ns.depth, num_heads=2, embed_dim=64,
+            dtype=policy.compute_dtype, name="visual")
+        text = TextBert(
+            vocab_size=512, context_length=32, width=args_ns.width,
+            depth=args_ns.depth, num_heads=2, embed_dim=64,
+            dtype=policy.compute_dtype, name="text")
+        model = ClipModel(visual=visual, text=text)
+        ctx, vocab = 32, 512
+
+    rng = jax.random.PRNGKey(0)
+    img0 = jnp.zeros((2, img, img, 3), policy.compute_dtype)
+    tok0 = jnp.zeros((2, ctx), jnp.int32)
+    variables = model.init({"params": rng}, image=img0, text=tok0)
+
+    schedule = create_schedule(args, 100)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats", {}))
+
+    def shard_param(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            if fsdp > 1 and x.shape[0] % fsdp == 0:
+                return NamedSharding(mesh, P(*(["fsdp"] + [None] * (x.ndim - 1))))
+            if tp > 1 and x.shape[-1] % tp == 0:
+                return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    state = jax.device_put(state, jax.tree_util.tree_map(shard_param, state))
+    batch_sharding = NamedSharding(mesh, P(("data", "fsdp")))
+    np_rng = np.random.default_rng(0)
+    batch = {
+        "image": jax.device_put(
+            np_rng.integers(0, 256, (B, img + 16, img + 16, 3), dtype=np.uint8),
+            batch_sharding),
+        "tokens": jax.device_put(
+            np_rng.integers(4, vocab, (B, ctx), dtype=np.int32),
+            batch_sharding),
+    }
+    step_fn = jax.jit(
+        make_clip_train_step(model, tx, policy, args, tcfg, schedule),
+        donate_argnums=(0,),
+    )
+    return step_fn, state, batch, rng, mesh, B
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"),
+                    help="cpu = virtual host devices (methodology run); "
+                         "tpu = a real pod, times are real")
+    ap.add_argument("--batch-per-device", type=int, default=4)
+    ap.add_argument("--image-size", type=int, default=32)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--model", default="tiny", choices=("tiny", "flagship"))
+    ap.add_argument("--precision", default="fp32",
+                    help="fp32 on CPU (no native bf16); amp on a real pod")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--json", default=None, help="write results JSON here")
+    args_ns = ap.parse_args()
+
+    if args_ns.platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags +
+                f" --xla_force_host_platform_device_count={args_ns.devices}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import numpy as np
+
+    devices = jax.devices()
+    assert len(devices) >= args_ns.devices, (
+        f"need {args_ns.devices} devices, have {len(devices)}")
+
+    rows = []
+    for dims in mesh_ladder(args_ns.devices):
+        n = dims[0] * dims[1] * dims[2]
+        step_fn, state, batch, rng, mesh, B = build_step(
+            args_ns, dims, devices)
+        with mesh:
+            lowered = step_fn.lower(state, batch, rng)
+            compiled = lowered.compile()
+            colls = collective_stats(compiled.as_text())
+            # warmup (also executes the compile)
+            for _ in range(args_ns.warmup):
+                state, metrics = step_fn(state, batch, rng)
+            float(metrics["loss"])  # sync
+            t0 = time.perf_counter()
+            for _ in range(args_ns.steps):
+                state, metrics = step_fn(state, batch, rng)
+            loss = float(metrics["loss"])  # sync via fetch
+            dt = (time.perf_counter() - t0) / args_ns.steps
+        assert np.isfinite(loss), f"non-finite loss {loss} at mesh {dims}"
+        rows.append({
+            "mesh": {"data": dims[0], "fsdp": dims[1], "model": dims[2]},
+            "devices": n, "global_batch": B, "step_ms": dt * 1e3,
+            "img_per_s": B / dt, "loss": loss, "collectives": colls,
+        })
+        cstr = ", ".join(
+            f"{k}×{v['count']} ({v['bytes']/1e6:.2f} MB)"
+            for k, v in sorted(colls.items())) or "none"
+        print(f"mesh {dims}: {dt*1e3:8.1f} ms/step  {B/dt:8.1f} img/s "
+              f"(global B={B})  collectives: {cstr}")
+
+    base = rows[0]["step_ms"]
+    print("\nweak-scaling efficiency (fixed per-device batch; ideal = 1.0):")
+    for r in rows:
+        eff = base / r["step_ms"]
+        r["weak_scaling_efficiency"] = eff
+        d = r["mesh"]
+        print(f"  {d['data']}x{d['fsdp']}x{d['model']}: "
+              f"eff={eff:.3f}  ({r['step_ms']:.1f} ms vs {base:.1f} ms @1dev)")
+
+    out = {
+        "platform": args_ns.platform,
+        "model": args_ns.model,
+        "batch_per_device": args_ns.batch_per_device,
+        "image_size": args_ns.image_size,
+        "precision": args_ns.precision,
+        "steps": args_ns.steps,
+        "rows": rows,
+        "note": ("virtual CPU devices: ratios + collective audit are the "
+                 "artifact; absolute times are not TPU times"
+                 if args_ns.platform == "cpu" else "real device timings"),
+    }
+    if args_ns.json:
+        with open(args_ns.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"\nwrote {args_ns.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -187,7 +187,7 @@ def main():
         for name, c in curves.items():
             print(f"{name:14s} first={c[0]:.4f} final={c[-1]:.4f}")
         for name in ("int8", "int8_fast", "int8_fast_attn", "int8_delayed",
-                      "int8_delayed_attn"):
+                     "int8_delayed_attn"):
             print(f"{name:14s} max|Δloss| vs fp32 = "
                   f"{out[name]['max_dev_vs_fp32']:.4f}, "
                   f"final Δ = {out[name]['final_dev_vs_fp32']:.4f}")
