@@ -38,7 +38,15 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))  # amortizes the ~30ms tunnel fetch
 MODEL = os.environ.get("BENCH_MODEL", "biomedclip")  # or "medmamba"
 PRECISION = os.environ.get("BENCH_PRECISION", "amp")
-QUANT = os.environ.get("BENCH_QUANT") or None  # int8|int8_fwd (AQT)|int8_fast
+# Primary recipe: --quant int8_delayed (round-4 decision, PERF.md "the
+# flagship recipe"): 506 img/s vs bf16's 429, with the tightest loss-
+# trajectory parity of every non-reference numerics mode measured
+# (max |Δloss| 0.0019 over 40 steps vs fp32 — tighter than fp16-vs-fp32
+# drift, and the reference itself trains in fp16 AMP). The bf16 number
+# stays in the same JSON line as the automatic secondary.
+# BENCH_QUANT="" reverses them (bf16 primary).
+QUANT = os.environ.get("BENCH_QUANT", "int8_delayed") or None
+ATTN = os.environ.get("BENCH_ATTN", "einsum")  # einsum|flash (ops/flash_attn)
 
 
 def _kernel_verify_marker():
@@ -118,7 +126,7 @@ def verify_compiled_kernel():
 
 
 def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
-                     quant=None, attn_remat=False):
+                     quant=None, attn_remat=False, attn_impl="einsum"):
     """Build (step_fn, state, device_batch, rng) for the stage-1 recipe.
 
     Shared by bench.py and tools/profile_step.py so the profiled step is
@@ -141,9 +149,12 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
     policy = get_policy(args.precision)
     tcfg = get_transform_config(None, 224, is_train=True)
 
+    from mamba_clip_tpu.ops.flash_attn import resolve_attn_flash
+
     model = build_clip(
         model_name=model_name, image_size=224, dtype=policy.compute_dtype,
         grad_checkpointing=False, quant=quant, attn_remat=attn_remat,
+        attn_flash=resolve_attn_flash(attn_impl),
     )
 
     rng = jax.random.PRNGKey(0)
@@ -182,7 +193,8 @@ def measure(quant):
     import numpy as np
 
     step_fn, state, batch, rng = build_train_step(
-        batch_size=BATCH, model_name=MODEL, precision=PRECISION, quant=quant
+        batch_size=BATCH, model_name=MODEL, precision=PRECISION, quant=quant,
+        attn_impl=ATTN,
     )
 
     def force_sync(state, metrics):
@@ -207,16 +219,15 @@ def measure(quant):
 def choose_secondary(env_value, quant):
     """Pick the second recipe measured in the same bench process.
 
-    BENCH_SECONDARY set → honor it ("" disables). Unset with an
-    unquantized primary → default to the fastest opt-in quantized recipe
-    (`--quant int8_delayed`, PERF.md round-3: 501.8 img/s vs int8_fast's
-    480.7, and the tightest loss-trajectory parity of the int8 modes) so
-    the one JSON line carries both the reference-numerics bf16 number
-    and the quantized number.
+    BENCH_SECONDARY set → honor it ("" disables). Unset → the one JSON
+    line always carries BOTH the flagship quantized number and the
+    reference-numerics bf16 number: an int8_delayed primary (the round-4
+    default) gets a bf16 secondary, and a bf16/unquantized primary gets
+    the int8_delayed secondary.
     """
     if env_value is not None:
         return env_value
-    return "int8_delayed" if quant is None else None
+    return "bf16" if quant else "int8_delayed"
 
 
 def main():
@@ -238,6 +249,8 @@ def main():
     }
     if QUANT:
         out["quant"] = QUANT
+    if ATTN != "einsum":
+        out["attn_impl"] = ATTN
     secondary = choose_secondary(os.environ.get("BENCH_SECONDARY"), QUANT)
     # BENCH_SECONDARY="" disables outright ("bf16" requests an unquantized
     # secondary explicitly); only a recipe distinct from the primary runs

@@ -107,6 +107,14 @@ class Args:
     # more than the fc1 matmul on the TPU VPU; tanh error is 33x below bf16
     # rounding — PERF.md round-3), exact otherwise (torch parity).
     gelu: str = "auto"  # auto|exact|tanh
+    # NEW: attention interior. einsum = XLA-fused QK^T/softmax/PV (the
+    # reference's eager-torch semantics); flash = the Pallas TPU
+    # flash-attention kernel (ops/flash_attn.py) — never materializes the
+    # [B,h,T,T] probs in HBM, fwd+bwd; TPU only. Measured NEGATIVE at
+    # CLIP sequence lengths (PERF.md round-4: tuned-best 1.85x slower
+    # than XLA's fusion; bs-64 e2e OOMs one v5e chip) — a long-sequence
+    # lever, not a recipe flag.
+    attn_impl: str = "einsum"  # einsum|flash
 
     # -- device mesh (beyond the reference's pure DP) -----------------------
     # devices lay out as data x fsdp x model; data = all remaining. fsdp>1

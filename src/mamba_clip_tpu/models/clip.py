@@ -297,6 +297,7 @@ def build_clip(
     quant: Optional[str] = None,
     gelu: str = "auto",
     attn_remat: bool = False,
+    attn_flash: bool = False,
 ) -> ClipModel:
     """CLIP factory. ``biomedclip``/ViT names → ViT-B/16 + PubMedBERT-shaped
     towers; ``medmamba`` → VSSM vision tower (reference: model.py:1257-1289).
@@ -317,6 +318,12 @@ def build_clip(
     dg_cls = make_dot_general_cls(quant)
     ai8 = _attn_int8(quant)
     ai8d = _attn_int8_delayed(quant)
+    if attn_flash and (ai8 or ai8d):
+        raise ValueError(
+            "--attn-impl flash replaces the attention interior the "
+            f"int8 attention modes quantize; drop flash or use --quant "
+            f"{quant!r} without the _attn suffix"
+        )
     gelu_approx = resolve_gelu_approx(gelu, dtype)
     name = (model_name or "biomedclip").lower()
     if "medmamba" in name or "vssm" in name:
@@ -332,7 +339,7 @@ def build_clip(
             gelu_approx=gelu_approx,
             grad_checkpointing=grad_checkpointing, dtype=dtype,
             dot_general_cls=dg_cls, attn_remat=attn_remat, attn_int8=ai8,
-            attn_int8_delayed=ai8d,
+            attn_int8_delayed=ai8d, attn_flash=attn_flash,
             name="visual",
         )
     text = TextBert(
@@ -340,7 +347,7 @@ def build_clip(
         embed_dim=embed_dim, grad_checkpointing=grad_checkpointing,
         dtype=dtype, gelu_approx=gelu_approx,
         dot_general_cls=dg_cls, attn_remat=attn_remat, attn_int8=ai8,
-        attn_int8_delayed=ai8d,
+        attn_int8_delayed=ai8d, attn_flash=attn_flash,
         name="text",
     )
     return ClipModel(visual=visual, text=text, siglip=siglip)

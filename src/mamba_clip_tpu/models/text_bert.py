@@ -39,6 +39,7 @@ class BertBlock(nn.Module):
     attn_remat: bool = False
     attn_int8: bool = False
     attn_int8_delayed: bool = False
+    attn_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -52,6 +53,7 @@ class BertBlock(nn.Module):
             dot_general_cls=self.dot_general_cls,
             remat_probs=self.attn_remat, int8_interior=self.attn_int8,
             int8_delayed_interior=self.attn_int8_delayed,
+            flash_interior=self.attn_flash,
             name="attn",
         )(x, pad_mask=mask)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_attn")(
@@ -89,6 +91,7 @@ class TextBert(nn.Module):
     attn_remat: bool = False
     attn_int8: bool = False
     attn_int8_delayed: bool = False
+    attn_flash: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -126,6 +129,7 @@ class TextBert(nn.Module):
                 dot_general_cls=self.dot_general_cls,
                 attn_remat=self.attn_remat, attn_int8=self.attn_int8,
                 attn_int8_delayed=self.attn_int8_delayed,
+                attn_flash=self.attn_flash,
                 name=f"block{i}",
             )(x, pad_mask, deterministic)
 

@@ -54,6 +54,11 @@ class FusedAttention(nn.Module):
     # dynamic-calibration cost that made int8_fast_attn a measured
     # negative (PERF.md "int8 attention interior").
     int8_delayed_interior: bool = False
+    # Pallas flash-attention interior (--attn-impl flash): never
+    # materializes the [B,h,T,T] probs in HBM, fwd + bwd (ops/flash_attn).
+    # Mutually exclusive with the int8 interiors; subsumes remat_probs
+    # (there are no probs to save or recompute).
+    flash_interior: bool = False
 
     def _dense(self, features, name, **kw):
         if self.dot_general_cls is not None:
@@ -100,6 +105,11 @@ class FusedAttention(nn.Module):
             q = q.reshape(B, T, h, hd)
             k = k.reshape(B, T, h, hd)
             v = v.reshape(B, T, h, hd)
+            if self.flash_interior:
+                from ..ops.flash_attn import flash_attention_interior
+
+                return flash_attention_interior(
+                    q, k, v, pad_mask, sm_scale=hd ** -0.5)
             if self.int8_delayed_interior:
                 from ..ops.qdot import int8_pv_dot_delayed, int8_qk_dot_delayed
 
@@ -171,6 +181,7 @@ class EncoderBlock(nn.Module):
     attn_remat: bool = False
     attn_int8: bool = False
     attn_int8_delayed: bool = False
+    attn_flash: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -183,6 +194,7 @@ class EncoderBlock(nn.Module):
                            remat_probs=self.attn_remat,
                            int8_interior=self.attn_int8,
                            int8_delayed_interior=self.attn_int8_delayed,
+                           flash_interior=self.attn_flash,
                            name="attn")(y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(
@@ -218,6 +230,7 @@ class VisionTransformer(nn.Module):
     attn_remat: bool = False  # recompute attention probs in backward
     attn_int8: bool = False  # int8 attention interior (--quant int8_fast_attn)
     attn_int8_delayed: bool = False  # delayed-scale interior (--quant int8_delayed_attn)
+    attn_flash: bool = False  # Pallas flash-attention interior (--attn-impl flash)
 
     @property
     def output_dim(self) -> int:
@@ -280,6 +293,7 @@ class VisionTransformer(nn.Module):
                 dot_general_cls=self.dot_general_cls,
                 attn_remat=self.attn_remat, attn_int8=self.attn_int8,
                 attn_int8_delayed=self.attn_int8_delayed,
+                attn_flash=self.attn_flash,
                 name=f"block{i}",
             )(x, deterministic)
 

@@ -41,6 +41,7 @@ from .data.loader import device_prefetch
 from .data.tokenizer import get_tokenizer
 from .eval import evaluate
 from .models import ClipClassifier, build_clip, lock_mask
+from .ops.flash_attn import resolve_attn_flash
 from .optim import build_optimizer, freeze_submodule_mask, merge_masks
 from .parallel.mesh import (
     broadcast_object,
@@ -592,6 +593,7 @@ def pipeline(args: Args):
                 dtype=policy.compute_dtype,
                 quant=args.quant,
                 gelu=args.gelu,
+                attn_flash=resolve_attn_flash(args.attn_impl),
             )
         data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
         run = setup_paths(args, run)
@@ -630,6 +632,7 @@ def pipeline(args: Args):
             model_name=stage1_name, image_size=image_size,
             quick_gelu=args.force_quick_gelu, dtype=policy.compute_dtype,
             quant=args.quant, gelu=args.gelu,
+            attn_flash=resolve_attn_flash(args.attn_impl),
         )
         model = ClipClassifier(
             clip=clip,

@@ -241,13 +241,28 @@ def main():
               f"(global B={B})  collectives: {cstr}")
 
     base = rows[0]["step_ms"]
-    print("\nweak-scaling efficiency (fixed per-device batch; ideal = 1.0):")
+    base_b = rows[0]["global_batch"]
+    # Two efficiency views:
+    # - weak_scaling_efficiency = t(1dev)/t(ndev) at fixed per-device batch:
+    #   the real-pod metric (ideal 1.0 when devices truly run in parallel).
+    # - work_normalized_efficiency = per-row time vs the 1-device per-row
+    #   time: on a single-core host the virtual devices SERIALIZE, so the
+    #   raw ratio degenerates to ~1/n by construction; normalizing by the
+    #   work (global batch) isolates the sharding/collective overhead,
+    #   which is what the virtual-mesh run can honestly measure.
+    print("\nefficiency (weak scaling, fixed per-device batch):")
     for r in rows:
-        eff = base / r["step_ms"]
-        r["weak_scaling_efficiency"] = eff
+        r["weak_scaling_efficiency"] = base / r["step_ms"]
+        r["work_normalized_efficiency"] = (
+            base * r["global_batch"] / base_b) / r["step_ms"]
         d = r["mesh"]
         print(f"  {d['data']}x{d['fsdp']}x{d['model']}: "
-              f"eff={eff:.3f}  ({r['step_ms']:.1f} ms vs {base:.1f} ms @1dev)")
+              f"parallel-eff={r['weak_scaling_efficiency']:.3f}  "
+              f"work-eff={r['work_normalized_efficiency']:.3f}  "
+              f"({r['step_ms']:.1f} ms, B={r['global_batch']})")
+    if args_ns.platform == "cpu":
+        print("  (single-host virtual devices serialize: work-eff is the "
+              "meaningful column; parallel-eff needs a real pod)")
 
     out = {
         "platform": args_ns.platform,

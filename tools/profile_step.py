@@ -34,6 +34,8 @@ def main():
     p.add_argument("--precision", default="amp")
     p.add_argument("--quant", default=None)
     p.add_argument("--attn-remat", action="store_true")
+    p.add_argument("--attn-impl", default="einsum",
+                   help="einsum|flash (ops/flash_attn)")
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--top", type=int, default=15)
     p.add_argument("--trace-dir", default=None,
@@ -53,7 +55,7 @@ def main():
     enable_compilation_cache()
     step_fn, state, batch, rng = build_train_step(
         batch_size=a.batch, model_name=a.model, precision=a.precision,
-        quant=a.quant, attn_remat=a.attn_remat,
+        quant=a.quant, attn_remat=a.attn_remat, attn_impl=a.attn_impl,
     )
 
     # HLO text for shape classification (cheap: reuses the cached compile)
