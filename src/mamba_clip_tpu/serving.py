@@ -171,6 +171,27 @@ def make_serving_fns(
     prep = _eval_prep(tcfg, policy.compute_dtype)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
+    def _init_on_host(init_fn, *a, **k):
+        """Run model.init with the host CPU as default device.
+
+        Export only LOWERS the entry points (nothing executes on an
+        accelerator), but serializing params that model.init placed on
+        the device costs a full device→host transfer — ~780 MB for the
+        flagship CLIP, minutes over a tunneled TPU. Keep fresh-init
+        params host-side; checkpoint-loaded variables come in via the
+        ``variables`` argument and never hit this path.
+
+        Falls back to the default device when the CPU attempt fails —
+        e.g. a VSSM whose Pallas scan (chosen per the DEFAULT backend)
+        cannot lower for the CPU platform. init is pure, so the retry
+        is safe."""
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                return init_fn(*a, **k)
+        except Exception:
+            return init_fn(*a, **k)
+
     # Mamba-family names default to the classifier zoo (the reference's
     # init_model("medmamba") path); is_clip=True exports the tower entry
     # points of a VSSM-towered CLIP instead (stage-1 --model medmamba
@@ -182,7 +203,8 @@ def make_serving_fns(
             model_name, num_classes=num_classes,
             dtype=policy.compute_dtype, quant=quant, scan_impl=scan_impl,
         )
-        variables = model.init(
+        variables = _init_on_host(
+            model.init,
             {"params": rng},
             jnp.zeros((2, image_size, image_size, 3), policy.compute_dtype),
         )
@@ -199,7 +221,8 @@ def make_serving_fns(
             context_length=context_length, vocab_size=vocab_size,
             dtype=policy.compute_dtype, quant=quant, scan_impl=scan_impl,
         )
-        variables = model.init(
+        variables = _init_on_host(
+            model.init,
             {"params": rng, "dropout": rng},
             image=jnp.zeros((2, image_size, image_size, 3),
                             policy.compute_dtype),
@@ -382,6 +405,7 @@ def load_serving(out_dir: str) -> Dict[str, Any]:
 
         mesh = create_mesh(MeshSpec(data=shards),
                            devices=jax.devices()[:shards])
+        variables = jax.device_put(variables, replicated(mesh))
 
         def wrap(e):
             return jax.jit(
@@ -390,6 +414,12 @@ def load_serving(out_dir: str) -> Dict[str, Any]:
                 out_shardings=data_sharding(mesh),
             )
     else:
+        # Put params on device ONCE at load. Exported.call takes them as
+        # a per-call argument; host numpy params would ride the dispatch
+        # path (and any transfer is catastrophic on tunneled backends —
+        # the flagship tree is ~780 MB at ~45 MB/s here).
+        variables = jax.device_put(variables)
+
         def wrap(e):
             return e.call
 

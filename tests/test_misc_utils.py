@@ -64,8 +64,10 @@ def test_precision_mapping():
 
 
 def test_bench_choose_secondary():
-    """bench.py measures the quantized recipe alongside bf16 by default;
-    an explicit BENCH_SECONDARY (including "") always wins."""
+    """bench.py's one JSON line always carries both the quantized recipe
+    and reference-numerics bf16 (round-4 flagship contract): a quantized
+    primary gets a bf16 secondary, an unquantized primary gets the
+    int8_delayed flagship. An explicit BENCH_SECONDARY (incl. "") wins."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -74,7 +76,7 @@ def test_bench_choose_secondary():
     spec.loader.exec_module(bench)
 
     assert bench.choose_secondary(None, None) == "int8_delayed"
-    assert bench.choose_secondary(None, "int8_fast") is None
-    assert bench.choose_secondary(None, "int8") is None
+    assert bench.choose_secondary(None, "int8_fast") == "bf16"
+    assert bench.choose_secondary(None, "int8_delayed") == "bf16"
     assert bench.choose_secondary("", None) == ""  # explicit disable
     assert bench.choose_secondary("int8", None) == "int8"

@@ -505,3 +505,103 @@ def test_serving_rejects_training_only_quant():
     for quant in ("int8_delayed", "int8_delayed_attn"):
         with pytest.raises(ValueError, match="int8_serve"):
             make_serving_fns("biomedclip", quant=quant)
+
+
+def _load_serve_tool(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        name,
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "serve_http.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    return tool
+
+
+def test_bucket_padding():
+    """_bucket: next pow2, rounded up to the shard multiple — the
+    bounded compile-shape set the MicroBatcher dispatches."""
+    tool = _load_serve_tool("serve_http_bucket")
+    assert [tool._bucket(n) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8,
+                                                             8, 16]
+    # shard-divisible: every dispatch of a data_shards=8 artifact
+    assert [tool._bucket(n, 8) for n in (1, 3, 8, 9, 17)] == [8, 8, 8,
+                                                              16, 32]
+    # non-pow2 multiple still bounded and divisible
+    assert [tool._bucket(n, 6) for n in (1, 5, 7)] == [6, 12, 12]
+
+
+def test_http_host_sharded_artifact(tmp_path, monkeypatch):
+    """A data_shards=8 artifact served over HTTP on the 8-device mesh:
+    single requests are padded up to a shard-divisible batch, results
+    match the unsharded export, and a host with too few devices gets
+    the clear error instead of an obscure mesh failure.
+
+    (This is the DP serving path under real load; the same artifact +
+    command run verbatim on an 8-chip TPU host.)"""
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    _, variables, _, meta = make_serving_fns("biomedclip", **_tiny_clip_kw())
+    out1 = str(tmp_path / "dp1")
+    out8 = str(tmp_path / "dp8")
+    export_serving(out1, "biomedclip", variables=variables, **_tiny_clip_kw())
+    export_serving(out8, "biomedclip", variables=variables, data_shards=8,
+                   **_tiny_clip_kw())
+
+    tool = _load_serve_tool("serve_http_sharded")
+
+    # insufficient-device host → clear error naming the shard count
+    monkeypatch.setattr(jax, "local_device_count", lambda *a, **k: 4)
+    with pytest.raises(ValueError, match="data_shards=8"):
+        tool.make_server(out8, port=0)
+    monkeypatch.undo()
+
+    srv = tool.make_server(out8, port=0, max_batch=16, max_delay_ms=1.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # every dispatched bucket is shard-divisible
+        assert srv.batchers["image_embed"].pad_multiple == 8
+        n = tool.warm_buckets(
+            srv, "image_embed",
+            _jpeg_bytes(), 16)
+        assert n == 2  # {8, 16}: buckets 1/2/4/8 all pad to 8
+
+        blob = _jpeg_bytes()
+        req = urllib.request.Request(
+            f"{base}/embed_image", data=blob, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            emb = np.asarray(json.loads(r.read())["embedding"])
+        assert emb.shape == (512,)
+
+        # matches the single-shard artifact through the same decode
+        from mamba_clip_tpu.data import fastimage
+        from mamba_clip_tpu.data.dataset import _decode_to_square
+
+        loaded = load_serving(out1)
+        staging = int(loaded["manifest"]["staging_size"])
+        img = fastimage.decode_resize(blob, staging)
+        if img is None:
+            import io as _io
+
+            img = _decode_to_square(Image.open(_io.BytesIO(blob)), staging)
+        ref = np.asarray(loaded["image_embed"](img[None]))[0]
+        np.testing.assert_allclose(emb, ref, atol=2e-3)
+    finally:
+        srv.shutdown()
+
+
+def _jpeg_bytes(seed: int = 0) -> bytes:
+    import io as _io
+
+    from PIL import Image
+
+    rimg = np.random.default_rng(seed).integers(
+        0, 256, (40, 56, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(rimg).save(buf, format="JPEG")
+    return buf.getvalue()

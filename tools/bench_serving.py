@@ -48,14 +48,22 @@ def _make_jpeg(size: int = 256, seed: int = 0) -> bytes:
 
 
 def _client_loop(host, port, path, payload, headers, deadline, lats, errs):
-    """Closed-loop client: one outstanding request at a time."""
+    """Closed-loop client: one outstanding request at a time. Transport
+    errors (reset/refused under burst) are counted and the connection is
+    rebuilt — a dead client thread would silently shrink offered load."""
     conn = http.client.HTTPConnection(host, port, timeout=120)
     try:
         while time.monotonic() < deadline:
             t0 = time.monotonic()
-            conn.request("POST", path, body=payload, headers=headers)
-            resp = conn.getresponse()
-            body = resp.read()
+            try:
+                conn.request("POST", path, body=payload, headers=headers)
+                resp = conn.getresponse()
+                body = resp.read()
+            except (ConnectionError, http.client.HTTPException, OSError) as e:
+                errs.append(f"transport: {type(e).__name__}: {e}".encode())
+                conn.close()
+                conn = http.client.HTTPConnection(host, port, timeout=120)
+                continue
             dt = time.monotonic() - t0
             if resp.status == 200:
                 lats.append(dt)
@@ -96,7 +104,7 @@ def run_load(server, endpoint: str, payload: bytes, headers: dict,
         t.join(timeout=duration + 150)
     wall = time.monotonic() - t0
     after = _healthz(host, port).get("batching", {}).get(endpoint, {})
-    if errs:
+    if errs and not lats:
         raise RuntimeError(f"{len(errs)} failed requests; first: {errs[0]}")
     reqs = after.get("requests", 0) - before.get("requests", 0)
     calls = after.get("batches", 0) - before.get("batches", 0)
@@ -105,6 +113,7 @@ def run_load(server, endpoint: str, payload: bytes, headers: dict,
     return {
         "clients": n_clients,
         "requests": len(lats),
+        "errors": len(errs),
         "wall_s": wall,
         "req_per_s": len(lats) / wall,
         "p50_ms": float(np.percentile(arr, 50)) * 1e3,
@@ -144,6 +153,9 @@ def main(argv=None):
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument("--in-flight", type=int, default=2,
+                    help="outstanding device calls the batcher pipelines "
+                         "(1 = synchronous dispatch)")
     ap.add_argument("--jpeg-size", type=int, default=256)
     ap.add_argument("--json", default=None)
     a = ap.parse_args(argv)
@@ -159,7 +171,7 @@ def main(argv=None):
     from serve_http import make_server
 
     server = make_server(a.artifact, port=0, max_batch=a.max_batch,
-                         max_delay_ms=a.max_delay_ms)
+                         max_delay_ms=a.max_delay_ms, in_flight=a.in_flight)
     srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
     srv_thread.start()
 
@@ -171,7 +183,17 @@ def main(argv=None):
         payload = _make_jpeg(a.jpeg_size)
         headers = {"Content-Type": "image/jpeg"}
 
-    # warm the compile (first batch shape) before timing
+    # warm every power-of-two bucket shape the batcher can dispatch, so
+    # remote first-compiles (~30s/shape over the axon tunnel) never land
+    # inside a timed window, then one end-to-end HTTP request
+    from serve_http import warm_buckets
+
+    warm_payload = (["a clinical photo of a skin lesion"]
+                    if a.endpoint == "text_embed" else payload)
+    t0 = time.monotonic()
+    n_shapes = warm_buckets(server, a.endpoint, warm_payload, a.max_batch)
+    print(f"warmed {n_shapes} bucket shapes in "
+          f"{time.monotonic() - t0:.1f}s", flush=True)
     host, port = server.server_address[0], server.server_address[1]
     conn = http.client.HTTPConnection(host, port, timeout=600)
     conn.request("POST", _PATHS[a.endpoint], body=payload, headers=headers)
@@ -189,12 +211,14 @@ def main(argv=None):
               f"p50={r['p50_ms']:7.1f} ms  p95={r['p95_ms']:7.1f} ms  "
               f"p99={r['p99_ms']:7.1f} ms  "
               f"fill={r['mean_batch_fill']:5.2f}/{a.max_batch} "
-              f"(eff={r['batch_efficiency']:.2f})", flush=True)
+              f"(eff={r['batch_efficiency']:.2f})"
+              + (f"  errors={r['errors']}" if r["errors"] else ""),
+              flush=True)
 
     server.shutdown()
     out = {"artifact": a.artifact, "endpoint": a.endpoint,
            "max_batch": a.max_batch, "max_delay_ms": a.max_delay_ms,
-           "duration_s": a.duration, "rows": rows}
+           "in_flight": a.in_flight, "duration_s": a.duration, "rows": rows}
     if a.json:
         with open(a.json, "w") as f:
             json.dump(out, f, indent=1)
