@@ -362,6 +362,16 @@ def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid,
         npack=npack, np_each=NPA,
     )
     flops_per = T * NPA * DT * 14
+    # CostEstimate requires concrete ints: under shape-polymorphic export
+    # (jax.export symbolic batch, serving.py) BG is a _DimExpr — drop the
+    # estimate there (it only tunes XLA's scheduling heuristics).
+    cost = None
+    if all(isinstance(v, int) for v in (BG, nd, NC)):
+        cost = pl.CostEstimate(
+            flops=flops_per * BG * nd * NC,
+            bytes_accessed=(delta.size + u.size) * delta.dtype.itemsize * 2,
+            transcendentals=BG * nd * NC * T * NPA * DT,
+        )
     y, hck = pl.pallas_call(
         kernel,
         grid=grid,
@@ -375,11 +385,7 @@ def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid,
             _out_sds((BG, NC, NPA, DP), delta, u, Bmat, Cmat),
         ],
         scratch_shapes=[pltpu.VMEM((NPA, DT), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per * BG * nd * NC,
-            bytes_accessed=(delta.size + u.size) * delta.dtype.itemsize * 2,
-            transcendentals=BG * nd * NC * T * NPA * DT,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(delta, u, Bmat, Cmat, A_t, Dvec, bias)
     return y, hck
