@@ -47,6 +47,13 @@ PRECISION = os.environ.get("BENCH_PRECISION", "amp")
 # BENCH_QUANT="" reverses them (bf16 primary).
 QUANT = os.environ.get("BENCH_QUANT", "int8_delayed") or None
 ATTN = os.environ.get("BENCH_ATTN", "einsum")  # einsum|flash (ops/flash_attn)
+# Padded text length. The reference computes the text tower over the full
+# 256-token context while ISIC reports max out at an exact 214-token upper
+# bound (perf/report_tokens_r5.json; --text-context auto rounds to 224).
+# 224 is the flagship recipe: identical embeddings (pad columns are
+# masked — tests/test_text_context.py), ~12% less text-tower GEMM work and
+# ~23% less attention work. BENCH_TEXT_CTX=256 reproduces reference padding.
+TEXT_CTX = int(os.environ.get("BENCH_TEXT_CTX", 224))
 
 
 def _kernel_verify_marker():
@@ -126,7 +133,8 @@ def verify_compiled_kernel():
 
 
 def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
-                     quant=None, attn_remat=False, attn_impl="einsum"):
+                     quant=None, attn_remat=False, attn_impl="einsum",
+                     text_ctx=256):
     """Build (step_fn, state, device_batch, rng) for the stage-1 recipe.
 
     Shared by bench.py and tools/profile_step.py so the profiled step is
@@ -159,7 +167,7 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
 
     rng = jax.random.PRNGKey(0)
     img0 = jnp.zeros((2, 224, 224, 3), policy.compute_dtype)
-    tok0 = jnp.zeros((2, 256), jnp.int32)
+    tok0 = jnp.zeros((2, text_ctx), jnp.int32)
     variables = model.init({"params": rng, "dropout": rng}, image=img0,
                            text=tok0)
 
@@ -181,7 +189,7 @@ def build_train_step(batch_size=64, model_name="biomedclip", precision="amp",
             np_rng.integers(0, 256, (batch_size, 256, 256, 3), dtype=np.uint8)
         ),
         "tokens": jnp.asarray(
-            np_rng.integers(4, 30522, (batch_size, 256), dtype=np.int32)
+            np_rng.integers(4, 30522, (batch_size, text_ctx), dtype=np.int32)
         ),
     }
     return step_fn, state, batch, rng
@@ -194,7 +202,7 @@ def measure(quant):
 
     step_fn, state, batch, rng = build_train_step(
         batch_size=BATCH, model_name=MODEL, precision=PRECISION, quant=quant,
-        attn_impl=ATTN,
+        attn_impl=ATTN, text_ctx=TEXT_CTX,
     )
 
     def force_sync(state, metrics):
@@ -251,6 +259,8 @@ def main():
         out["quant"] = QUANT
     if ATTN != "einsum":
         out["attn_impl"] = ATTN
+    if TEXT_CTX != 256:
+        out["text_context"] = TEXT_CTX  # --text-context; 256 = ref padding
     secondary = choose_secondary(os.environ.get("BENCH_SECONDARY"), QUANT)
     # BENCH_SECONDARY="" disables outright ("bf16" requests an unquantized
     # secondary explicitly); only a recipe distinct from the primary runs

@@ -137,6 +137,17 @@ class Args:
     # implicit hf-hub pretrained fetch (model.py:1266-1281)
     pretrained: Optional[str] = None
     tokenizer: Optional[str] = None
+    # NEW: tokenizer context trimming. The reference pads every report to
+    # the text tower's full 256-token context (reference: model.py:1007)
+    # and computes attention/GEMMs over the trailing padding — ISIC
+    # reports measure p99 200 / max 205 tokens at full field population
+    # (perf/report_tokens_r5.json), ~25% pure padding. N trims the padded
+    # length to N (overflow = hard error); "auto" measures the dataset's
+    # exact max report length with the live tokenizer (report_gen.
+    # report_token_upper_bound) and rounds up to a multiple of 16; unset
+    # keeps reference-parity 256. Embeddings are bit-identical either way
+    # (pad columns are masked; tests/test_text_context.py).
+    text_context: Optional[str] = None
     lock_image: bool = False
     lock_image_unlocked_groups: int = 0
     lock_image_freeze_bn_stats: bool = False

@@ -92,7 +92,8 @@ _PATIENT_TEMPLATES = {
 }
 
 
-def patient_sentence(row: Mapping[str, Any], rng=None, is_eval: bool = False):
+def _patient_pool(row: Mapping[str, Any]):
+    """(template pool, format kwargs) for the patient sentence, or None."""
     age = None if _missing(row.get("age_approx")) else int(row["age_approx"])
     sex = None if _missing(row.get("sex")) else str(row["sex"])
     site = (
@@ -101,22 +102,30 @@ def patient_sentence(row: Mapping[str, Any], rng=None, is_eval: bool = False):
         else str(row["anatom_site_general"])
     )
     if age and sex and site:
-        t = _pick(rng, _PATIENT_TEMPLATES["all"], is_eval)
+        key = "all"
     elif age and sex:
-        t = _pick(rng, _PATIENT_TEMPLATES["age_sex"], is_eval)
+        key = "age_sex"
     elif age and site:
-        t = _pick(rng, _PATIENT_TEMPLATES["age_site"], is_eval)
+        key = "age_site"
     elif sex and site:
-        t = _pick(rng, _PATIENT_TEMPLATES["sex_site"], is_eval)
+        key = "sex_site"
     elif age:
-        t = _pick(rng, _PATIENT_TEMPLATES["age"], is_eval)
+        key = "age"
     elif sex:
-        t = _pick(rng, _PATIENT_TEMPLATES["sex"], is_eval)
+        key = "sex"
     elif site:
-        t = _pick(rng, _PATIENT_TEMPLATES["site"], is_eval)
+        key = "site"
     else:
         return None
-    return t.format(age=age, sex=sex, site=site)
+    return _PATIENT_TEMPLATES[key], {"age": age, "sex": sex, "site": site}
+
+
+def patient_sentence(row: Mapping[str, Any], rng=None, is_eval: bool = False):
+    pool = _patient_pool(row)
+    if pool is None:
+        return None
+    templates, kw = pool
+    return _pick(rng, templates, is_eval).format(**kw)
 
 
 # -- measurement sentences ---------------------------------------------------
@@ -326,6 +335,63 @@ def generate_report(
         if t:
             parts.append(t)
     return " ".join(parts)
+
+
+def report_token_upper_bound(
+    row: Mapping[str, Any],
+    count_tokens,
+    include_target: bool = False,
+) -> int:
+    """Exact upper bound on the token count of any report draw for ``row``.
+
+    Sentence dropout only removes sentences and shuffle only reorders them,
+    so the longest possible draw keeps every sentence and picks, per slot,
+    the longest template (and for the diagnosis slot the longest iddx
+    rendering). Sentences are joined by a single space, and both shipped
+    tokenizers pre-split on whitespace (HashTokenizer's word regex; BERT
+    WordPiece), so tokens never merge across sentence boundaries and
+    ``count(join(parts)) == sum(count(p) for p in parts)`` — the sum of
+    per-slot maxima is therefore the exact maximum, not an estimate.
+
+    ``count_tokens``: str -> int WITHOUT special tokens (the tokenizers'
+    ``count_tokens`` method). Used by ``--text-context auto`` (tokenizer.
+    resolve_text_context) to size the padded context to the dataset instead
+    of the reference's fixed 256 (reference: model.py:1007 — it pads and
+    attends over every trailing pad column).
+    """
+    total = 0
+    pool = _patient_pool(row)
+    if pool is not None:
+        templates, kw = pool
+        total += max(count_tokens(t.format(**kw)) for t in templates)
+    for col, render, templates in _MEASUREMENTS:
+        v = row.get(col)
+        if _missing(v):
+            continue
+        rv = render(v)
+        total += max(count_tokens(t.format(v=rv)) for t in templates)
+    if not _missing(row.get("tbp_lv_symm_2axis")) and not _missing(
+        row.get("tbp_lv_symm_2axis_angle")
+    ):
+        symm = round(float(row["tbp_lv_symm_2axis"]), 2)
+        angle = int(row["tbp_lv_symm_2axis_angle"])
+        total += max(
+            count_tokens(t.format(symm=symm, angle=angle))
+            for t in _SYMMETRY_TEMPLATES
+        )
+    if include_target:
+        dxs = [
+            row[k]
+            for k in ("iddx_1", "iddx_2", "iddx_3", "iddx_4", "iddx_5")
+            if k in row and not _missing(row.get(k))
+        ]
+        if dxs:
+            total += max(
+                count_tokens(t.format(dx=dx))
+                for t in _TARGET_TEMPLATES
+                for dx in dxs
+            )
+    return total
 
 
 # Backwards-compatible alias matching the reference's public name.

@@ -47,9 +47,17 @@ class HashTokenizer:
     SEP = 3
     N_SPECIAL = 4
 
+    N_SPECIAL_PER_SEQ = 2  # CLS + SEP
+
     def __init__(self, context_length: int = 256, vocab_size: int = 30522):
         self.context_length = context_length
         self.vocab_size = vocab_size
+        # "truncate" (reference semantics: silently clip to the context,
+        # data.py tokenizes to 256 and open_clip truncates) or "error"
+        # (set by --text-context trimming: a report longer than the
+        # measured bucket means the bucket is stale — fail loudly rather
+        # than silently drop clinical sentences).
+        self.on_overflow = "truncate"
         # word -> id memo: report text is templated, so the live vocabulary
         # is small; hashing each word in Python (~3 us) dominated the host
         # item cost before this (measured in the loader-bound e2e run)
@@ -76,18 +84,33 @@ class HashTokenizer:
             out.append(tid)
         return out
 
+    def count_tokens(self, text: str) -> int:
+        """Token count WITHOUT special tokens (for context measurement)."""
+        return len(_WORD_RE.findall(text.lower()))
+
     def __call__(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
+        cap = self.context_length - 2
         out = np.zeros((len(texts), self.context_length), dtype=np.int32)
         for i, t in enumerate(texts):
-            ids = [self.CLS] + self._encode_one(t)[: self.context_length - 2] + [self.SEP]
+            body = self._encode_one(t)
+            if len(body) > cap and self.on_overflow == "error":
+                raise ValueError(
+                    f"text of {len(body)} tokens overflows the trimmed "
+                    f"context {self.context_length} (--text-context); pass "
+                    "a larger bucket or leave --text-context unset for the "
+                    "reference's 256-with-truncation"
+                )
+            ids = [self.CLS] + body[:cap] + [self.SEP]
             out[i, : len(ids)] = ids
         return out
 
 
 class HFTokenizerAdapter:
     """Local HuggingFace tokenizer (no network), BERT-style output."""
+
+    N_SPECIAL_PER_SEQ = 2  # [CLS] + [SEP]
 
     def __init__(self, path: str, context_length: int = 256):
         from transformers import AutoTokenizer
@@ -96,12 +119,31 @@ class HFTokenizerAdapter:
         self.context_length = context_length
         self.vocab_size = self.tok.vocab_size
         self.pad_id = self.tok.pad_token_id or 0
+        self.on_overflow = "truncate"  # see HashTokenizer.on_overflow
+
+    def count_tokens(self, text: str) -> int:
+        """Subword count WITHOUT special tokens (for context measurement —
+        WordPiece counts differ from the hash tokenizer's word counts, so
+        --text-context auto must measure with the live tokenizer)."""
+        return len(self.tok(text, add_special_tokens=False)["input_ids"])
 
     def __call__(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
+        texts = list(texts)
+        if self.on_overflow == "error":
+            cap = self.context_length - self.N_SPECIAL_PER_SEQ
+            for t in texts:
+                n = self.count_tokens(t)
+                if n > cap:
+                    raise ValueError(
+                        f"text of {n} subwords overflows the trimmed "
+                        f"context {self.context_length} (--text-context); "
+                        "pass a larger bucket or leave --text-context "
+                        "unset for the reference's 256-with-truncation"
+                    )
         enc = self.tok(
-            list(texts),
+            texts,
             padding="max_length",
             truncation=True,
             max_length=self.context_length,
@@ -155,3 +197,120 @@ def get_tokenizer(name_or_path: str, context_length: int = 256,
         "text towers."
     )
     return HashTokenizer(context_length=context_length)
+
+
+def measure_required_context(tokenizer, splits, sample_cap: int = 8192) -> int:
+    """Exact max token length (incl. CLS/SEP) any report draw can reach.
+
+    ``splits``: iterable of (metadata DataFrame, include_target bool), one
+    per dataset split, mirroring how the datasets call generate_report.
+    Uses report_gen.report_token_upper_bound — an exact per-row maximum
+    over every template/shuffle/dropout draw — so a context sized to this
+    value can NEVER overflow at runtime for the measured rows. Rows beyond
+    ``sample_cap`` per split are subsampled evenly; numeric renderings are
+    rounded to <=2 decimals so between-row token-count variation is tiny,
+    and any unmeasured longer row still fails loudly (on_overflow="error").
+    """
+    import numpy as np
+
+    from .report_gen import report_token_upper_bound
+
+    count = tokenizer.count_tokens
+    n_special = getattr(tokenizer, "N_SPECIAL_PER_SEQ", 2)
+    need = 0
+    for meta, include_target in splits:
+        if meta is None or len(meta) == 0:
+            continue
+        n = len(meta)
+        idx = (
+            np.unique(np.linspace(0, n - 1, sample_cap).astype(int))
+            if n > sample_cap
+            else np.arange(n)
+        )
+        cols = list(meta.columns)
+        arrays = {c: meta[c].to_numpy() for c in cols}
+        for i in idx:
+            row = {c: arrays[c][i] for c in cols}
+            b = report_token_upper_bound(row, count, include_target)
+            if b > need:
+                need = b
+    return need + n_special
+
+
+def resolve_text_context(
+    spec,
+    tokenizer,
+    splits=None,
+    model_context: int = 256,
+    multiple: int = 16,
+    floor: int = 32,
+    logger=None,
+) -> int:
+    """Resolve ``--text-context`` and configure ``tokenizer`` in place.
+
+    The reference pads every report to the model's full 256-token context
+    (reference: model.py:1007; data.py tokenizes with the open_clip
+    tokenizer's fixed context) and computes the text tower over the
+    padding — measured ISIC reports are p99 200 / max 205 tokens
+    (perf/report_tokens_r5.json), so ~25% of the text-tower compute is
+    pure padding. A TPU-first build sizes the static shape to the data:
+
+    - ``spec`` int or numeric str: trim to exactly that bucket; overflow
+      becomes a hard error (the user chose the bucket).
+    - ``spec == "auto"``: measure the dataset's exact maximum report
+      length with the LIVE tokenizer (WordPiece subword counts differ
+      from hash-word counts), round up to ``multiple`` (sublane-friendly),
+      clamp to [floor, model_context]. Overflow is a hard error — by
+      construction it cannot fire for measured rows.
+    - ``spec`` None/"": keep the tokenizer as built (reference parity).
+
+    Returns the resolved context length. The model needs no change: the
+    text tower slices its position table to the input length
+    (models/text_bert.py pos[:, :L]) and pad columns are attention-masked,
+    so trimmed and 256-padded batches produce identical embeddings
+    (tests/test_text_context.py identity test).
+    """
+    if spec in (None, "", "none"):
+        return tokenizer.context_length
+    spec = str(spec)
+    if spec != "auto":
+        ctx = int(spec)
+        if ctx < 8:
+            raise ValueError(f"--text-context {ctx}: too small to hold any report")
+        if ctx > model_context:
+            raise ValueError(
+                f"--text-context {ctx} exceeds the text tower's position "
+                f"table ({model_context})"
+            )
+        tokenizer.context_length = ctx
+        tokenizer.on_overflow = "error" if ctx < model_context else "truncate"
+        if logger:
+            logger.info(f"text context: {ctx} (explicit; overflow is an error)")
+        return ctx
+    if not splits:
+        if logger:
+            logger.warning(
+                "--text-context auto: no metadata to measure; keeping "
+                f"{tokenizer.context_length}"
+            )
+        return tokenizer.context_length
+    need = measure_required_context(tokenizer, splits)
+    ctx = max(floor, -(-need // multiple) * multiple)
+    if ctx >= model_context:
+        if logger:
+            logger.warning(
+                f"text context: auto measured {need} needed — no headroom "
+                f"under the model's {model_context}; keeping reference "
+                "padding semantics"
+            )
+        tokenizer.context_length = model_context
+        tokenizer.on_overflow = "truncate"
+        return model_context
+    tokenizer.context_length = ctx
+    tokenizer.on_overflow = "error"
+    if logger:
+        logger.info(
+            f"text context: auto → {ctx} (exact max needed {need}, "
+            f"reference pads to {model_context})"
+        )
+    return ctx

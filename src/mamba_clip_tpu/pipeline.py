@@ -511,8 +511,33 @@ def step(
     return metrics, state
 
 
-def _build_data(args: Args, run: RunState, tokenizer, tcfg_train, tcfg_val):
+def _build_data(args: Args, run: RunState, tokenizer, tcfg_train, tcfg_val,
+                model_context: int = 256):
+    def resolve_ctx(mds):
+        # --text-context: trim the tokenizer's padded length to the data
+        # (train/val reports carry the diagnosis sentence at stage 1, the
+        # test split never does — same include_target logic as get_data)
+        if tokenizer is None or not args.text_context:
+            return
+        from .data.tokenizer import resolve_text_context
+
+        s1 = getattr(args, "stage", 1) == 1
+        splits = [(md, s1 and split != "test")
+                  for md, split in mds if md is not None]
+        resolve_text_context(
+            args.text_context, tokenizer, splits,
+            model_context=model_context, logger=logger,
+        )
+
     if args.synthetic_data:
+        if str(args.text_context).lower() == "auto":
+            # measure on the same distribution SyntheticIsicDataset draws
+            from .data.dataset import synthetic_metadata
+
+            n = min(int(args.train_num_samples or 2048), 2048)
+            resolve_ctx([(synthetic_metadata(n, args.seed), "train")])
+        else:
+            resolve_ctx([])
         data = get_data(
             args, tokenizer=tokenizer, staging_size=tcfg_train.staging_size,
             rank=run.rank, world_size=run.world_size,
@@ -521,6 +546,7 @@ def _build_data(args: Args, run: RunState, tokenizer, tcfg_train, tcfg_val):
         train_md, val_md, test_md = get_metadata(args)
         if args.undersample and train_md is not None:
             train_md, val_md = undersample_data(args, train_md, val_md)
+        resolve_ctx([(train_md, "train"), (val_md, "val"), (test_md, "test")])
         data = get_data(
             args, train_metadata=train_md, val_metadata=val_md,
             test_metadata=test_md, tokenizer=tokenizer,
@@ -595,7 +621,11 @@ def pipeline(args: Args):
                 gelu=args.gelu,
                 attn_flash=resolve_attn_flash(args.attn_impl),
             )
-        data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
+        data = _build_data(
+            args, run, tokenizer, tcfg_train, tcfg_val,
+            model_context=getattr(
+                getattr(model, "text", None), "context_length", 256),
+        )
         run = setup_paths(args, run)
         run = setup_train(args, run, checkpoint_prefix=f"stage_{args.stage}_")
         cw = data["train"].class_weights if "train" in data else None
@@ -641,7 +671,10 @@ def pipeline(args: Args):
             use_text_only=args.use_text_only,
             use_inner_prod=args.use_inner_prod,
         )
-        data = _build_data(args, run, tokenizer, tcfg_train, tcfg_val)
+        data = _build_data(
+            args, run, tokenizer, tcfg_train, tcfg_val,
+            model_context=getattr(clip.text, "context_length", 256),
+        )
         # Locate the stage-1 run BEFORE minting this run's own dir — the
         # reference looks up first too (pipeline.py:594-602), otherwise the
         # fresh stage-2 dir shadows it in the latest-run scan.
