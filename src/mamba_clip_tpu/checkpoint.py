@@ -455,6 +455,78 @@ def start_sync_process(local_dir, remote_dir, frequency=300, protocol="fsspec"):
 # ---------------------------------------------------------------------------
 
 
+def _cubic_resize_matrix(n_in: int, n_out: int):
+    """(n_out, n_in) 1-D bicubic interpolation matrix, torch-antialias
+    semantics.
+
+    Matches ``F.interpolate(mode="bicubic", antialias=True)`` — what timm's
+    ``resample_abs_pos_embed`` calls. torch's antialias kernels are
+    PIL-derived: cubic-convolution filter with A=-0.5 (NOT the -0.75 of the
+    non-AA path), kernel widened by the scale factor on downscale, window
+    TRUNCATED at the borders (no pixel duplication) with weights
+    renormalized, output center ``(i + 0.5) * scale``. Golden-tested
+    against the torch oracle in tests/test_pos_resample.py.
+    """
+    if n_in == n_out:
+        return np.eye(n_in)
+    scale = n_in / n_out
+    ks = max(scale, 1.0)
+    support = 2.0 * ks
+    A = -0.5
+
+    def cubic(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0,
+            ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0,
+            np.where(x < 2.0, (((x - 5.0) * x + 8.0) * x - 4.0) * A, 0.0),
+        )
+
+    M = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        center = (i + 0.5) * scale
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(n_in, int(center + support + 0.5))
+        js = np.arange(xmin, xmax)
+        w = cubic((js - center + 0.5) / ks)
+        M[i, js] = w / w.sum()
+    return M
+
+
+def resample_pos_embed(src: np.ndarray, n_tokens: int,
+                       num_prefix: int = 1) -> np.ndarray:
+    """Bicubic-resize a ViT absolute position table to a new patch grid.
+
+    ``src`` is ``(1, old_grid**2 + num_prefix, C)``; returns
+    ``(1, n_tokens, C)`` where ``n_tokens - num_prefix`` is the new square
+    grid. Prefix (CLS) slots are kept verbatim; the grid part is resized
+    as an image, torch-bicubic/antialias — the same operation timm's
+    ``resample_abs_pos_embed`` performs when open_clip loads a checkpoint
+    at a non-native ``force_image_size``. (The torch reference parses
+    --force-image-size but never wires it into model creation —
+    cli/main.py force_image_size, pipeline.py:207-211 — so this is
+    beyond-reference robustness: a 224px converted checkpoint grafts
+    cleanly at 336px instead of erroring on the shape mismatch.)
+    """
+    _, n_src, ch = src.shape
+    g_old = int(round((n_src - num_prefix) ** 0.5))
+    g_new = int(round((n_tokens - num_prefix) ** 0.5))
+    if g_old * g_old != n_src - num_prefix or g_new * g_new != n_tokens - num_prefix:
+        raise ValueError(
+            f"resample_pos_embed: non-square grids ({n_src} -> {n_tokens} "
+            f"tokens with {num_prefix} prefix)"
+        )
+    prefix = src[:, :num_prefix]
+    grid = src[0, num_prefix:].astype(np.float64).reshape(g_old, g_old, ch)
+    M = _cubic_resize_matrix(g_old, g_new)
+    grid = np.einsum("ij,jkc->ikc", M, grid)      # rows
+    grid = np.einsum("kj,ijc->ikc", M, grid)      # cols
+    out = np.concatenate(
+        [prefix.astype(np.float64), grid.reshape(1, g_new * g_new, ch)], axis=1
+    )
+    return out.astype(src.dtype)
+
+
 def load_torch_clip(path: str, params, strict: bool = True) -> Any:
     """Import a reference (open_clip BiomedCLIP) torch checkpoint into our
     ClipModel params when a converted .npz mapping is available. Conversion
@@ -477,6 +549,20 @@ def load_torch_clip(path: str, params, strict: bool = True) -> Any:
     def adapt(key, src, shape):
         if tuple(src.shape) == tuple(shape):
             return src
+        # ViT patch-grid position table at a different --force-image-size:
+        # bicubic-resample the grid (checked BEFORE the generic truncation
+        # rule — truncating a 2-D grid flattened row-major would scramble
+        # it). The text table is named pos_emb, so only the visual grid
+        # matches here.
+        if (key.endswith("pos_embed") and src.ndim == 3 == len(shape)
+                and src.shape[0] == shape[0] == 1
+                and src.shape[-1] == shape[-1]):
+            resized = resample_pos_embed(src, shape[1])
+            logger.info(
+                f"{key}: resampled position grid {src.shape[1] - 1} -> "
+                f"{shape[1] - 1} tokens (bicubic, force_image_size graft)"
+            )
+            return resized
         # position tables: truncate extra positions (dim -2)
         if src.ndim == len(shape) and src.shape[-1] == shape[-1] and \
                 src.shape[-2] > shape[-2] and src.shape[:-2] == tuple(shape[:-2]):

@@ -237,6 +237,47 @@ def test_pretrained_two_stage_composition(flagship_build, converted_npz,
         flat["visual/patch_embed/kernel"])
 
 
+def test_pretrained_graft_at_forced_image_size(converted_npz, vocab_dir,
+                                               tmp_path, monkeypatch):
+    """--pretrained + --force-image-size at a NON-native resolution: the
+    32px-native converted checkpoint grafts at 48px via bicubic pos-embed
+    resampling (checkpoint.resample_pos_embed) instead of a strict shape
+    error. Beyond-reference robustness: the torch reference parses
+    --force-image-size but never wires it into model creation
+    (reference: cli/main.py force_image_size, pipeline.py:207-211)."""
+    import mamba_clip_tpu.pipeline as P
+    from mamba_clip_tpu.checkpoint import resample_pos_embed
+
+    def small(image_size=IMG, **kw):
+        from mamba_clip_tpu.models.clip import ClipModel
+        from mamba_clip_tpu.models.text_bert import TextBert
+        from mamba_clip_tpu.models.vit import VisionTransformer
+
+        visual = VisionTransformer(
+            image_size=image_size, patch_size=PATCH, width=W, depth=DEPTH,
+            num_heads=HEADS, embed_dim=EMBED, name="visual",
+        )
+        text = TextBert(
+            vocab_size=VOCAB, context_length=CTX, width=W, depth=DEPTH,
+            num_heads=HEADS, embed_dim=EMBED, name="text",
+        )
+        return ClipModel(visual=visual, text=text)
+
+    monkeypatch.setattr(P, "build_clip", small)
+    args = _args(tmp_path, vocab_dir, stage=1, name="flag-fis",
+                 pretrained=converted_npz, lock_image=True, lock_text=True,
+                 force_image_size=[48])  # 3x3 grid vs the checkpoint's 2x2
+    m = P.pipeline(args)
+    assert m and np.isfinite(m["val_loss"])
+
+    # the locked pos table equals the bicubic resample of the converted one
+    flat = _npz(converted_npz)
+    p = _final_params(tmp_path, "flag-fis", 1)
+    want = resample_pos_embed(flat["visual/pos_embed"], (48 // PATCH) ** 2 + 1)
+    np.testing.assert_array_equal(
+        np.asarray(p["visual"]["pos_embed"]), want.astype(np.float32))
+
+
 def test_pretrained_missing_tensor_is_loud(flagship_build, converted_npz,
                                            vocab_dir, tmp_path):
     """--pretrained with an incomplete npz must hard-fail (strict graft),
