@@ -39,11 +39,13 @@ STEPS = int(os.environ.get("BENCH_STEPS", 30))  # amortizes the ~30ms tunnel fet
 MODEL = os.environ.get("BENCH_MODEL", "biomedclip")  # or "medmamba"
 PRECISION = os.environ.get("BENCH_PRECISION", "amp")
 # Primary recipe: --quant int8_delayed (round-4 decision, PERF.md "the
-# flagship recipe"): 506 img/s vs bf16's 429, with the tightest loss-
+# flagship recipe"): round-5 measured 531 img/s at the ctx-224 bucket vs
+# bf16's 458 (504/430 at reference ctx 256), with the tightest loss-
 # trajectory parity of every non-reference numerics mode measured
 # (max |Δloss| 0.0019 over 40 steps vs fp32 — tighter than fp16-vs-fp32
-# drift, and the reference itself trains in fp16 AMP). The bf16 number
-# stays in the same JSON line as the automatic secondary.
+# drift, and the reference itself trains in fp16 AMP; end-metric pAUC
+# parity: tools/parity_harness.py --quant-stage1, PARITY.md round 5).
+# The bf16 number stays in the same JSON line as the automatic secondary.
 # BENCH_QUANT="" reverses them (bf16 primary).
 QUANT = os.environ.get("BENCH_QUANT", "int8_delayed") or None
 ATTN = os.environ.get("BENCH_ATTN", "einsum")  # einsum|flash (ops/flash_attn)

@@ -36,6 +36,9 @@ def main():
     p.add_argument("--attn-remat", action="store_true")
     p.add_argument("--attn-impl", default="einsum",
                    help="einsum|flash (ops/flash_attn)")
+    p.add_argument("--text-ctx", type=int, default=None,
+                   help="padded text length (default: bench.TEXT_CTX, the "
+                        "--text-context auto bucket)")
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--top", type=int, default=15)
     p.add_argument("--trace-dir", default=None,
@@ -53,9 +56,12 @@ def main():
         attribute, format_attribution, load_device_op_times)
 
     enable_compilation_cache()
+    import bench
+
     step_fn, state, batch, rng = build_train_step(
         batch_size=a.batch, model_name=a.model, precision=a.precision,
         quant=a.quant, attn_remat=a.attn_remat, attn_impl=a.attn_impl,
+        text_ctx=a.text_ctx if a.text_ctx else bench.TEXT_CTX,
     )
 
     # HLO text for shape classification (cheap: reuses the cached compile)
