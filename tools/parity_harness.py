@@ -226,14 +226,323 @@ def run_stage2(epochs: int = 3, lr: float = 1e-3, wd: float = 0.05,
     }
 
 
+# ---------------------------------------------------------------------------
+# --quant-stage1: does TRAINING stage-1 under int8_delayed reach the same
+# downstream pAUC as bf16-amp / fp32? (VERDICT r4 item 2: the flagship-recipe
+# decision must rest on the end metric the north star names, not a 40-step
+# loss trace.)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_clip(quant, dtype):
+    """Tiny two-tower CLIP (same module classes as the flagship, scaled
+    down so a few hundred CPU steps are feasible)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from mamba_clip_tpu.models.clip import ClipModel
+    from mamba_clip_tpu.models.text_bert import TextBert
+    from mamba_clip_tpu.models.vit import VisionTransformer
+    from mamba_clip_tpu.ops.quant import make_dot_general_cls
+
+    dg = make_dot_general_cls(quant)
+    visual = VisionTransformer(
+        image_size=32, patch_size=8, width=64, depth=3, num_heads=4,
+        embed_dim=64, dtype=dtype, dot_general_cls=dg, name="visual",
+    )
+    text = TextBert(
+        vocab_size=64, context_length=16, width=64, depth=3, num_heads=4,
+        embed_dim=64, dtype=dtype, dot_general_cls=dg, name="text",
+    )
+    return ClipModel(visual=visual, text=text)
+
+
+def _synth_isic(rng, n):
+    """Synthetic ISIC-shaped paired data with shared latent structure.
+
+    Latents: lesion type z∈{0..3} (blob color / type word) and severity
+    s∈[0,1] (blob size / severity word). Both towers can recover (z, s)
+    — images render them visually, reports tokenize them — so contrastive
+    alignment is learnable, and the downstream malignancy label depends on
+    BOTH latents, so held-out pAUC measures how much latent structure the
+    trained towers actually captured (the reference's two-stage premise:
+    pipeline.py stage-2 trains a head on frozen stage-1 features)."""
+    z = rng.integers(0, 4, n)
+    s = rng.random(n).astype(np.float32)
+    logit = 3.0 * (s - 0.55) + 1.1 * (z - 1.5)
+    p = 1.0 / (1.0 + np.exp(-(logit - 2.2)))
+    y = (rng.random(n) < p).astype(np.int64)
+
+    # images: 40px staged (train RRC / eval center-crop to 32), noisy
+    # background + center-jittered blob; color from z, size from s
+    imgs = rng.integers(90, 150, (n, 40, 40, 3), dtype=np.uint8)
+    colors = np.array(
+        [[230, 80, 80], [80, 230, 80], [80, 80, 230], [230, 200, 60]],
+        np.float32,
+    )
+    yy, xx = np.mgrid[0:40, 0:40].astype(np.float32)
+    cy = 20 + rng.integers(-3, 4, n)
+    cx = 20 + rng.integers(-3, 4, n)
+    rad = 4.0 + 10.0 * s
+    for i in range(n):
+        mask = (yy - cy[i]) ** 2 + (xx - cx[i]) ** 2 <= rad[i] ** 2
+        shade = colors[z[i]] * (0.65 + 0.35 * s[i])
+        imgs[i][mask] = np.clip(
+            shade + rng.normal(0, 12, (int(mask.sum()), 3)), 0, 255
+        ).astype(np.uint8)
+
+    # reports: ctx 16, vocab 64 — [CLS] TYPE_WORD SEV_WORD filler... [SEP] pad
+    toks = np.zeros((n, 16), np.int32)
+    toks[:, 0] = 1
+    toks[:, 1] = 3 + z
+    toks[:, 2] = 10 + np.clip((s * 8).astype(np.int64), 0, 7)
+    for i in range(n):
+        nf = int(rng.integers(2, 6))
+        toks[i, 3:3 + nf] = rng.integers(30, 64, nf)
+        toks[i, 3 + nf] = 2
+    return imgs, toks, y, z, s
+
+
+def _train_stage1_mode(mode, params0, quant0, imgs, toks, order, steps,
+                       batch, lr, seed):
+    """Train the tiny CLIP from identical init under one numerics mode.
+    Returns (losses, trained_params_fp32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_clip_tpu.config import Args
+    from mamba_clip_tpu.data.preprocess_cfg import get_transform_config
+    from mamba_clip_tpu.optim import build_optimizer
+    from mamba_clip_tpu.schedules import create_schedule
+    from mamba_clip_tpu.train import create_train_state, make_clip_train_step
+    from mamba_clip_tpu.utils.precision import get_policy
+
+    precision = "fp32" if mode == "fp32" else "amp"
+    quant = "int8_delayed" if mode == "int8_delayed" else None
+    policy = get_policy(precision)
+    model = _tiny_clip(quant, policy.compute_dtype)
+
+    args = Args(batch_size=batch, epochs=1, lr=lr, warmup=20,
+                precision=precision, quant=quant or "none")
+    # gentler RRC than the ISIC default so the 40px synthetic blob stays
+    # in frame; identical across modes, so it cancels in the comparison
+    tcfg = get_transform_config({"scale": (0.6, 1.0)}, 32, is_train=True)
+    schedule = create_schedule(args, steps)
+    tx = build_optimizer(args, schedule)
+    state = create_train_state(params0, tx, {}, policy=policy,
+                               quant_stats=quant0 if quant else None)
+    fn = make_clip_train_step(model, tx, policy, args, tcfg, schedule)
+    jfn = jax.jit(fn)
+
+    first = {
+        "image": jnp.asarray(imgs[order[0]]),
+        "tokens": jnp.asarray(toks[order[0]]),
+    }
+    if quant:
+        state = fn.calibrate_quant(state, first, jax.random.PRNGKey(seed))
+
+    losses = []
+    for i in range(steps):
+        b = {"image": jnp.asarray(imgs[order[i]]),
+             "tokens": jnp.asarray(toks[order[i]])}
+        # same per-step key across modes: identical augmentation stream
+        state, metrics = jfn(state, b, jax.random.PRNGKey(seed))
+        losses.append(float(metrics["loss"]))
+    fp32_params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        state.params,
+    )
+    return np.array(losses), fp32_params
+
+
+def _embed_pairs(params, imgs, toks, batch=256):
+    """Deterministic fp32 embeddings (concat image+text features — the
+    stage-2 feature the pipeline feeds the classifier head)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_clip_tpu.ops.preprocess import eval_preprocess
+
+    model = _tiny_clip(None, jnp.float32)
+
+    @jax.jit
+    def emb(im, tk):
+        x = eval_preprocess(im, out_size=32, out_dtype=jnp.float32)
+        out = model.apply({"params": params}, image=x, text=tk,
+                          deterministic=True)
+        return jnp.concatenate(
+            [out["image_features"], out["text_features"]], axis=-1
+        )
+
+    feats = []
+    for i in range(0, len(imgs), batch):
+        feats.append(np.asarray(
+            emb(jnp.asarray(imgs[i:i + batch]), jnp.asarray(toks[i:i + batch]))
+        ))
+    return np.concatenate(feats)
+
+
+def _train_head(feats_tr, y_tr, feats_va, order, w1, b1, w2, b2, *,
+                lr=1e-3, wd=0.05, warmup=10, cw=None):
+    """Stage-2 head on frozen features (jax stack only — cross-stack
+    optimizer parity is pinned separately by run()/run_stage2()).
+    Identical init + batch order across callers. Returns (losses, val
+    probabilities)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mamba_clip_tpu.losses import cross_entropy_loss
+    from mamba_clip_tpu.schedules import cosine_lr
+
+    steps = order.shape[0]
+    params = {"w1": jnp.asarray(w1), "b1": jnp.asarray(b1),
+              "w2": jnp.asarray(w2), "b2": jnp.asarray(b2)}
+    sched = cosine_lr(lr, warmup, steps)
+    tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(
+            wd, mask={"w1": True, "b1": False, "w2": True, "b2": False}),
+        optax.scale_by_learning_rate(sched),
+    )
+    opt_state = tx.init(params)
+    weight = jnp.asarray(cw) if cw is not None else None
+    xs = jnp.asarray(feats_tr)
+    ys = jnp.asarray(y_tr)
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        x, t = xs[idx], ys[idx]
+
+        def loss_fn(p):
+            h = jnp.maximum(x @ p["w1"] + p["b1"], 0.0)
+            return cross_entropy_loss(h @ p["w2"] + p["b2"], t, weight=weight)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(order[i]))
+        losses.append(float(loss))
+
+    h = np.maximum(feats_va @ np.asarray(params["w1"]) + np.asarray(params["b1"]), 0)
+    logits = h @ np.asarray(params["w2"]) + np.asarray(params["b2"])
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = (e / e.sum(-1, keepdims=True))[:, 1]
+    return np.array(losses), probs
+
+
+def run_quant_stage1(steps: int = 600, batch: int = 32, n_train: int = 4096,
+                     n_s2: int = 3072, lr: float = 5e-4, seed: int = 0,
+                     head_epochs: int = 4, seed_jitter: bool = True):
+    """Two-stage quality experiment: train stage-1 contrastive from
+    IDENTICAL init under fp32 / bf16-amp / int8_delayed (the flagship
+    recipe), graft each trained tower into the same stage-2 head training
+    (identical head init + batch stream), and compare held-out pAUC>80%TPR.
+
+    Yardsticks for "is int8_delayed's deviation acceptable": (a) the
+    bf16-amp recipe's own deviation from fp32 (the reference itself trains
+    in mixed precision, reference train.py autocast), and (b) fp32-vs-fp32
+    at a different init seed (pure seed jitter). int8_delayed passes if its
+    pAUC deviation sits within the band those two define."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mamba_clip_tpu.eval import partial_auc
+
+    rng = np.random.default_rng(seed)
+    imgs1, toks1, _, _, _ = _synth_isic(rng, n_train)
+    # stage-2 pool: fresh draws, fixed split
+    rng2 = np.random.default_rng(seed + 1000)
+    imgs2, toks2, y2, _, _ = _synth_isic(rng2, n_s2)
+    n_tr2 = (2 * n_s2) // 3
+    idx2 = rng2.permutation(n_s2)
+    tr2, va2 = idx2[:n_tr2], idx2[n_tr2:]
+
+    order = np.stack([
+        np.random.default_rng((seed, 7, i)).permutation(n_train)[:batch]
+        for i in range(steps)
+    ])
+
+    def init_params(init_seed):
+        m_fp32 = _tiny_clip(None, jnp.float32)
+        v = m_fp32.init({"params": jax.random.PRNGKey(init_seed)},
+                        image=jnp.zeros((2, 32, 32, 3)),
+                        text=jnp.ones((2, 16), jnp.int32))
+        mq = _tiny_clip("int8_delayed", jnp.float32)
+        vq = mq.init({"params": jax.random.PRNGKey(init_seed)},
+                     image=jnp.zeros((2, 32, 32, 3)),
+                     text=jnp.ones((2, 16), jnp.int32))
+        return v["params"], vq["quant"]
+
+    params0, quant0 = init_params(seed)
+    runs = [("fp32", params0), ("amp", params0), ("int8_delayed", params0)]
+    if seed_jitter:
+        params1, _ = init_params(seed + 1)
+        runs.append(("fp32_seed1", params1))
+
+    # shared stage-2 head init + batch stream
+    hrng = np.random.default_rng(seed + 2000)
+    D, HID = 128, 64
+    w1 = (hrng.normal(0, 1, (D, HID)) / math.sqrt(D)).astype(np.float32)
+    b1 = np.zeros(HID, np.float32)
+    w2 = (hrng.normal(0, 1, (HID, 2)) / math.sqrt(HID)).astype(np.float32)
+    b2 = np.zeros(2, np.float32)
+    spe = n_tr2 // 64
+    horder = np.concatenate(
+        [hrng.permutation(n_tr2) for _ in range(head_epochs)]
+    )[: head_epochs * spe * 64].reshape(-1, 64)
+    counts = np.bincount(y2[tr2], minlength=2)
+    cw = (n_tr2 / (2.0 * counts)).astype(np.float32)
+
+    out = {"steps": steps, "batch": batch, "n_train": n_train,
+           "n_stage2": n_s2, "val_samples": int(len(va2)),
+           "val_positives": int(y2[va2].sum()),
+           "train2_positives": int(y2[tr2].sum()), "modes": {}}
+    for mode, p0 in runs:
+        m = mode.split("_seed")[0]
+        losses, trained = _train_stage1_mode(
+            m, p0, quant0 if m == "int8_delayed" else None,
+            imgs1, toks1, order, steps, batch, lr, seed)
+        feats = _embed_pairs(trained, imgs2, toks2)
+        hlosses, probs = _train_head(
+            feats[tr2], y2[tr2], feats[va2],
+            np.ascontiguousarray(horder), w1, b1, w2, b2, cw=cw)
+        pauc = float(partial_auc(y2[va2], probs, min_tpr=0.8))
+        out["modes"][mode] = {
+            "stage1_final_loss": float(np.mean(losses[-20:])),
+            "stage1_first_loss": float(losses[0]),
+            "head_final_loss": float(np.mean(hlosses[-10:])),
+            "pauc": pauc,
+        }
+
+    p_fp32 = out["modes"]["fp32"]["pauc"]
+    out["pauc_fp32"] = p_fp32
+    out["dev_amp"] = abs(out["modes"]["amp"]["pauc"] - p_fp32)
+    out["dev_int8_delayed"] = abs(
+        out["modes"]["int8_delayed"]["pauc"] - p_fp32)
+    if seed_jitter:
+        out["dev_seed"] = abs(out["modes"]["fp32_seed1"]["pauc"] - p_fp32)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--stage2", action="store_true")
+    p.add_argument("--quant-stage1", action="store_true")
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--json", action="store_true")
     a = p.parse_args()
-    if a.stage2:
+    if a.quant_stage1:
+        r = run_quant_stage1(steps=max(a.steps, 200) if a.steps != 50 else 600)
+        yard = max(r["dev_amp"], r.get("dev_seed", 0.0))
+        ok = r["dev_int8_delayed"] <= 1.5 * yard + 0.002
+    elif a.stage2:
         r = run_stage2(epochs=a.epochs)
         ok = r["max_loss_dev"] < 1e-3 and r["pauc_dev"] < 1e-4
     else:
