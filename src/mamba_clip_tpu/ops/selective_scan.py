@@ -312,8 +312,29 @@ def _bwd_kernel(
 #   A_t     : (G, NP, DP)    D,bias : (G, 1, DP)
 # ---------------------------------------------------------------------------
 
-_CHUNK = 128  # log2(128)=7 doubling passes per chunk; VMEM ~6MB of scan state
+_CHUNK = 128  # max chunk length; VMEM ~6MB of scan state
 _LANE = 128
+
+
+def _grid_chunks(L: int) -> Tuple[int, int]:
+    """(T, LP): chunk length and padded sequence length with MINIMAL
+    padding. The kernel computes over every padded element (masked
+    positions carry the identity pair, but the arithmetic still runs and
+    the roofline shows the kernel sits at the VPU ceiling —
+    perf/scan_roofline_r5.json), so a fixed T=128 wastes real time on
+    lengths like medmamba's stage-3 L=196 (padded 256, +31%) and stage-2
+    L=784 (padded 896, +14%). Instead spread L over ceil(L/128) chunks of
+    equal sublane-aligned length: T ≤ 128, T a multiple of _SUB (the
+    two-level scan's subchunk), LP = NC*T, padding < 8 elements per
+    chunk. NC is recoverable from LP alone (NC = ceil(LP/128), proven by
+    nc*T ≥ L > (nc-1)*128), which keeps the fwd/bwd pallas wrappers'
+    signatures unchanged."""
+    if L <= _CHUNK:
+        T = _round_up(L, _SUB)
+        return T, T
+    nc = -(-L // _CHUNK)
+    T = _round_up(-(-L // nc), _SUB)
+    return T, nc * T
 
 
 def _specs(BG, LP, DP, NPB, NPA, G, T, DT):
@@ -351,9 +372,9 @@ def _fwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, *, softplus, l_valid,
     BG, LP, DP = u.shape
     NP = Bmat.shape[-1]
     G = A_t.shape[0]
-    T = min(_CHUNK, LP)
+    NC = -(-LP // _CHUNK)  # _grid_chunks invariant: NC*T == LP
+    T = LP // NC
     DT = min(_LANE, DP)
-    NC = LP // T
     NPA = NP // npack  # per-slot state width = A/scratch sublane dim
     in_specs, nd = _specs(BG, LP, DP, NP, NPA, G, T, DT)
     grid = (BG, nd, NC)
@@ -396,9 +417,9 @@ def _bwd_pallas(delta, u, Bmat, Cmat, A_t, Dvec, bias, dy, hck, *, softplus,
     BG, LP, DP = u.shape
     NP = Bmat.shape[-1]
     G = A_t.shape[0]
-    T = min(_CHUNK, LP)
+    NC = -(-LP // _CHUNK)  # _grid_chunks invariant: NC*T == LP
+    T = LP // NC
     DT = min(_LANE, DP)
-    NC = LP // T
     NPA = NP // npack  # per-slot state width = A/scratch sublane dim
     # reversed chunk visit order for the seq-major inputs
     rrow = lambda bg, d, lc: (bg, NC - 1 - lc, d)
@@ -502,7 +523,7 @@ def _canon(u, delta, A, Bmat, Cmat, D, bias):
     if u.dtype == jnp.float16:
         u, delta = u.astype(jnp.float32), delta.astype(jnp.float32)
         Bmat, Cmat = Bmat.astype(jnp.float32), Cmat.astype(jnp.float32)
-    LP = _round_up(L, _CHUNK) if L > _CHUNK else _round_up(L, 8)
+    _, LP = _grid_chunks(L)  # minimal-padding chunking (roofline lever)
     NP = _round_up(N, 8)
     P = _pack_factor(G, DG)
     Gp = G // P
