@@ -184,3 +184,24 @@ def test_group_lane_packing(rng, G, DG, expect_P):
             np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-4,
             err_msg=name,
         )
+
+
+def test_grid_chunks_invariants():
+    """_grid_chunks (round-5 adaptive chunking): T ≤ 128, T a multiple of
+    the _SUB subchunk, LP = NC*T with NC recoverable from LP alone
+    (NC = ceil(LP/128) — the property the pallas wrappers rely on), and
+    padding strictly less than one _SUB per chunk."""
+    from mamba_clip_tpu.ops.selective_scan import _CHUNK, _SUB, _grid_chunks
+
+    for L in [1, 7, 8, 16, 49, 70, 128, 129, 140, 196, 200, 260, 300, 513,
+              784, 1000, 3136, 4096, 12608]:
+        T, LP = _grid_chunks(L)
+        assert T <= _CHUNK and T % _SUB == 0, (L, T)
+        assert LP % T == 0 and LP >= L, (L, T, LP)
+        nc = LP // T
+        assert -(-LP // _CHUNK) == nc, (L, T, LP)  # wrapper recovery
+        assert LP - L < nc * _SUB, (L, T, LP)      # minimal padding
+        # the old fixed-T=128 padding is never beaten by the new scheme
+        old = ((L + _CHUNK - 1) // _CHUNK) * _CHUNK if L > _CHUNK \
+            else ((L + 7) // 8) * 8
+        assert LP <= old, (L, LP, old)
