@@ -142,7 +142,9 @@ def _scan_shapes():
     # (2,2,8,2), dims (64,128,256,512), 224px -> 56x56 stage-1 grid)
     return [
         ("stage1_L3136_DG64", 32, 4, 3136, 64, 16),
+        ("stage2_L784_DG128", 32, 4, 784, 128, 16),
         ("stage3_L196_DG256", 32, 4, 196, 256, 16),
+        ("stage4_L49_DG512", 32, 4, 49, 512, 16),
     ]
 
 
