@@ -329,11 +329,12 @@ def _grid_chunks(L: int) -> Tuple[int, int]:
     chunk. NC is recoverable from LP alone (NC = ceil(LP/128), proven by
     nc*T ≥ L > (nc-1)*128), which keeps the fwd/bwd pallas wrappers'
     signatures unchanged."""
+    align = max(_SUB, 8)  # Mosaic block sublane constraint: T % 8 == 0
     if L <= _CHUNK:
-        T = _round_up(L, _SUB)
+        T = _round_up(L, align)
         return T, T
     nc = -(-L // _CHUNK)
-    T = _round_up(-(-L // nc), _SUB)
+    T = _round_up(-(-L // nc), align)
     return T, nc * T
 
 
